@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DuckDB-dialect compatibility shims.
+  *
+  * The reference executes arbitrary DuckDB SQL (reference tools.py:58-65,
+  * templates.py:99-121); the one DuckDB-specific function its plans use is
+  * `try_strptime(str, fmt)` with C-strptime patterns (reference
+  * prompt.txt:24-30, 36-41). Spark's native equivalent is
+  * `try_to_timestamp(str, fmt)` with java.time patterns, so the shim is a
+  * strptime→DateTimeFormatter pattern translation plus a session-registered
+  * SQL function. The DataFrame-API form delegates to the built-in (codegen'd)
+  * `try_to_timestamp`; the SQL registration uses a UDF only as dialect glue
+  * for plan-authored SQL (not a hot analytical path).
+  */
+object Dialect {
+
+  /** Translate a C-strptime format (`%m/%d/%Y`) to a java.time
+    * DateTimeFormatter pattern (`MM/dd/yyyy`). Literal letters are quoted so
+    * they are not interpreted as pattern fields. */
+  def strptimeToJava(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'f' -> "SSSSSS", 'j' -> "DDD", 'b' -> "MMM", 'B' -> "MMMM",
+      'a' -> "EEE", 'A' -> "EEEE", 'p' -> "a", 'Z' -> "zzz", 'z' -> "xx",
+      'G' -> "YYYY", 'V' -> "ww", 'u' -> "e")
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    def closeQuote(): Unit = if (inQuote) { out += '\''; inQuote = false }
+    def openQuote(): Unit = if (!inQuote) { out += '\''; inQuote = true }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val d = fmt.charAt(i + 1)
+        if (d == '%') { openQuote(); out += '%' }
+        else map.get(d) match {
+          case Some(p) => closeQuote(); out ++= p
+          case None    => throw new IllegalArgumentException(
+            s"unsupported strptime field %$d in '$fmt'")
+        }
+        i += 2
+      } else {
+        if (c.isLetter) { openQuote(); out += c }
+        else if (c == '\'') { openQuote(); out ++= "''" }
+        else { closeQuote(); out += c }
+        i += 1
+      }
+    }
+    closeQuote()
+    out.result()
+  }
+
+  /** DataFrame-API `try_strptime`: null on parse failure, identical
+    * semantics to DuckDB's (reference prompt.txt:26-27). Codegen'd — it is
+    * the built-in `try_to_timestamp` with a translated literal pattern. */
+  def tryStrptime(c: Column, strptimeFmt: String): Column =
+    try_to_timestamp(c, lit(strptimeToJava(strptimeFmt)))
+
+  /** Register SQL-callable dialect functions on the session so plan-authored
+    * DuckDB SQL (`transform.sql` steps) runs unmodified. */
+  def registerAll(spark: SparkSession): Unit = {
+    val parse = (s: String, fmt: String) => {
+      if (s == null || fmt == null) null
+      else {
+        try {
+          val jf = strptimeToJava(fmt)
+          val dtf = new java.time.format.DateTimeFormatterBuilder()
+            .parseCaseInsensitive().appendPattern(jf)
+            .toFormatter(java.util.Locale.US)
+          val ta = dtf.parseBest(s,
+            java.time.LocalDateTime.from(_), java.time.LocalDate.from(_))
+          ta match {
+            case dt: java.time.LocalDateTime =>
+              java.sql.Timestamp.valueOf(dt)
+            case d: java.time.LocalDate =>
+              java.sql.Timestamp.valueOf(d.atStartOfDay())
+            case _ => null
+          }
+        } catch { case _: Exception => null }
+      }
+    }
+    spark.udf.register("try_strptime", parse)
+  }
+}
