@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class DialectSpec extends SparkSpec {
+
+  test("strptime pattern translation") {
+    assert(Dialect.strptimeToJava("%m/%d/%Y") == "MM/dd/yyyy")
+    assert(Dialect.strptimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Dialect.strptimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(Dialect.strptimeToJava("%d.%m.%y") == "dd.MM.yy")
+    // literal letters must be quoted so they aren't pattern fields
+    assert(Dialect.strptimeToJava("%YT%m") == "yyyy'T'MM")
+    intercept[IllegalArgumentException](Dialect.strptimeToJava("%Q"))
+  }
+
+  test("tryStrptime: parse ok, null on failure, fallback chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("01/15/1997", "1997-01-15", "18/11/2011", "garbage")
+      .toDF("ds")
+      .select(
+        coalesce(
+          Dialect.tryStrptime(col("ds"), "%m/%d/%Y"),
+          Dialect.tryStrptime(col("ds"), "%Y-%m-%d")).cast("date").as("d"))
+    val got = df.collect().map(r => Option(r.getDate(0)).map(_.toString))
+    // 18/11/2011 nulls out under both formats (month 18 invalid) — the
+    // declared fallback-chain semantics, FIXTURES.md §A1 trap.
+    assert(got.toSeq == Seq(
+      Some("1997-01-15"), Some("1997-01-15"), None, None))
+  }
+
+  test("SQL-registered try_strptime matches") {
+    Dialect.registerAll(spark)
+    val got = spark.sql(
+      """SELECT CAST(COALESCE(try_strptime('05/02/2010', '%m/%d/%Y'),
+        |                     try_strptime('05/02/2010', '%Y-%m-%d')) AS DATE) AS d
+        |""".stripMargin).collect()(0).getDate(0).toString
+    assert(got == "2010-05-02") // May 2 — month-first, the declared format
+  }
+}
