@@ -16,12 +16,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.CoreQueries.q4_weekly(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (dedup / similarity / text /
+    * multimodal / events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++ graft.queries.ExtensionQueries.oracles
 }

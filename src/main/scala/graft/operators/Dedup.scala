@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * hash-aggregate; MinHash/SimHash generate candidates with a
+  * band→bucket-join (only documents sharing a band hash ever meet in a
+  * shuffle), then verify candidates exactly. Bucket skew (a degenerate
+  * shingle shared by millions of docs) is bounded because band hashes are
+  * over full signatures, and AQE's skew-join handling splits oversized
+  * buckets at runtime.
+  */
+object Dedup {
+
+  /** Exact dedup on a content fingerprint: one hash-aggregate pass, no
+    * sort. Returns one representative (min id) per distinct value with the
+    * duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.md5Fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("fingerprint"), col("dup_count"))
+
+  /** Distinct token-n-gram shingles, exploded to (id, shingle) pairs. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * The shingle equi-join is the candidate generator — complexity is
+    * Σ_shingle count² rather than n², which holds up when shingles are
+    * discriminative (use larger n for noisier corpora). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast(DoubleType) /
+      (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast(DoubleType)
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: per document, `numHashes` independent min-hashes
+    * over its shingle set (hash family = xxhash64 seeded by index). One
+    * aggregation pass computes all of them. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures → `bands` band-hashes →
+    * bucket join on (band index, band hash) → exact Jaccard verification of
+    * the candidates only. Estimated-similar pairs that share no band are
+    * missed with probability (1-s^r)^b — the standard LSH trade. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until r).map(j => col(s"h${b * r + j}"))
+      struct(lit(b).as("band"), hash(slice: _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.bh"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact jaccard (candidate set is small by
+    // construction, so this join is cheap)
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(candidates, col("a.id") === col("id_a"))
+      .join(sh.as("b"),
+        col("b.id") === col("id_b") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast(DoubleType) /
+      (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast(DoubleType)
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: each token hash votes ±1 on every bit
+    * position, weighted by term frequency; the sign vector packs into one
+    * long. One explode + one aggregation — no pairwise work. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val agged = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist: candidates
+    * from 16-bit band buckets (any pair within distance 3 shares at least
+    * one of 4 bands by pigeonhole), verified with `bit_count(xor)`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh")))
+    val buckets = sig.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band"), col("bs.bh"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact
+    * cosine verification within buckets. Planes are seeded (deterministic
+    * across runs/executors). */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      val dot = Vectors.dotProduct(col("v"), planeCol)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+    val cos = Vectors.cosine(col("x.v"), col("y.v"))
+    bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

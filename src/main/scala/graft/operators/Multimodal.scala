@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `BinaryType`
+  * payloads with a typed metadata struct, and a partition-wise
+  * decode/feature-extract stage.
+  *
+  * The Spark-side machinery here is real and tested — schema, partition
+  * batching, deterministic output shape. The *decoder itself is a STUB*:
+  * this container has no image/audio codecs, so `decodeFeaturesStub`
+  * derives a deterministic fake feature vector from the payload bytes.
+  * Swapping in a real decoder (JNI codec, ONNX runtime, …) changes only
+  * the marked function body — the distributed plumbing is unchanged.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width_px", IntegerType, nullable = false),
+    StructField("height_px", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Wrap a text column as a fake media payload: `payload` (binary) +
+    * `media` (typed metadata). Stands in for reading real image bytes from
+    * a binary-file source (`spark.read.format("binaryFile")` at scale). */
+  def attachFakePayload(df: DataFrame, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8").cast(BinaryType)
+    val h = abs(xxhash64(col(textCol)))
+    df.withColumn("payload", payload)
+      .withColumn("media", struct(
+        lit("image").as("kind"),
+        (h % 1920 + 16).cast(IntegerType).as("width_px"),
+        (h % 1080 + 16).cast(IntegerType).as("height_px"),
+        length(col(textCol)).cast(LongType).as("n_bytes")))
+  }
+
+  /** Partition-wise decode + feature extraction over binary payloads
+    * (the `mapPartitions` shape a real decoder needs: per-partition codec
+    * init, batched row iteration — the Scala analog of `mapInPandas`).
+    *
+    * ==== STUB ====
+    * A real implementation would decode `payload` with an image library
+    * and run a feature extractor. Unavailable in this container, so the
+    * "features" are a deterministic fold of the payload bytes with the
+    * declared dimensionality and batch shape of the real thing.
+    */
+  def decodeFeaturesStub(df: DataFrame, featureDim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition init would open the codec here (once, not per row)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val feats = new Array[Float](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          feats(i % featureDim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame-sampling plan for video-like payloads: selects
+    * every `stride`-th frame index below `nFrames` — the bookkeeping a
+    * frame-sampling decode stage needs, without the codec. */
+  def sampleFrameIndexes(df: DataFrame, nFramesCol: String,
+      stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+      sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride)))
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{RollingMinHash, Text}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data-pipeline operators (the build brief's first-class
+  * extensions): dedup, similarity search, text analysis, multimodal
+  * plumbing, plus event sessionization/windowing.
+  *
+  * SQL-expressible operators carry DuckDB oracles; operators whose hash
+  * families are engine-specific (MinHash/SimHash/LSH/rolling-hash) are
+  * rows-only here and are verified semantically in ScalaTest
+  * (DedupSimilaritySpec) against exact ground truth.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.ts arrives as LongType nanos (nanosAsLong); truncate to µs for
+    * engine-portable timestamps. */
+  private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us",
+      timestamp_micros(expr("ts div 1000")))
+
+  // ── dedup ───────────────────────────────────────────────────────────────
+
+  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def d2_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d4_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def d5_embed_cosine_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, nPlanes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ── text analysis ───────────────────────────────────────────────────────
+
+  def t1_text_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).cast(IntegerType).as("n_tokens"),
+      length(col("text")).as("len_chars"),
+      round(Text.meanTokenLen(col("text")), 6).as("mean_token_len"),
+      round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(Text.stopwordRatio(col("text"), Text.defaultStopwords), 6)
+        .as("stopword_ratio"),
+      Text.md5Fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def t2_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.langId(col("text")).as("lang_pred"),
+      col("lang").as("lang_declared"),
+      round(Text.qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def t3_fingerprint_rolling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      RollingMinHash.rollingMinHash(col("text"), k = 8).as("rhash"))
+      .orderBy(col("doc_id"))
+
+  // ── similarity search ───────────────────────────────────────────────────
+
+  def s1_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def s2_ann_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", dim = 64, k = 5, nPlanes = 6)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ── events: windowing, sessionization, JSON props ───────────────────────
+
+  def e1_events_hourly(s: SparkSession, dir: String): DataFrame =
+    eventsWithTs(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts_us")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  def e2_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsWithTs(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapUs = unix_micros(col("ts_us")) - unix_micros(lag(col("ts_us"), 1).over(w))
+    val newSess = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L)
+    e.withColumn("new_sess", newSess)
+      .withColumn("sess_no",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("sess_start"),
+        max(col("ts_us")).as("sess_end"))
+      .orderBy(col("user_id"), col("sess_no"))
+  }
+
+  def e3_json_props(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast(IntegerType)).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
+
+  def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.attachFakePayload(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+      "text")
+    val decoded = Multimodal.decodeFeaturesStub(withPayload, featureDim = 8)
+    decoded
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("media.n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 6).as("mean_f0"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact"       -> (d1_dedup_exact _),
+    "d2_ngram_jaccard"     -> (d2_ngram_jaccard _),
+    "d3_minhash_lsh"       -> (d3_minhash_lsh _),
+    "d4_simhash"           -> (d4_simhash _),
+    "d5_embed_cosine_pairs" -> (d5_embed_cosine_pairs _),
+    "t1_text_stats"        -> (t1_text_stats _),
+    "t2_langid"            -> (t2_langid _),
+    "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
+    "s1_cosine_topk"       -> (s1_cosine_topk _),
+    "s2_ann_lsh_topk"      -> (s2_ann_lsh_topk _),
+    "e1_events_hourly"     -> (e1_events_hourly _),
+    "e2_sessionize"        -> (e2_sessionize _),
+    "e3_json_props"        -> (e3_json_props _),
+    "m1_multimodal_features" -> (m1_multimodal_features _))
+
+  /** DuckDB oracles for the SQL-expressible subset. Engine-specific hash
+    * families (d3/d4/d5, t3, s2) and the mapPartitions stub (m1) get the
+    * driver's rows-only check + ScalaTest semantic verification. */
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        | COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle FROM (
+        |    SELECT doc_id, w,
+        |           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |    FROM tok) WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t1_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(length(text) AS INT) AS len_chars,
+        | ROUND(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |   / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_token_len,
+        | ROUND(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |   / greatest(length(lower(text)), 1), 6) AS punct_ratio,
+        | ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS DOUBLE)
+        |   / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s1_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+        |  FROM e q JOIN e c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY 1),
+        |ranked AS (
+        |  SELECT query_id, cand_id,
+        |         ROUND(dot/(nq.nrm*nc.nrm), 6) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY dot/(nq.nrm*nc.nrm) DESC, cand_id) AS rk
+        |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms nc ON nc.vec_id = cand_id)
+        |SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "e1_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        | COUNT(*) AS n_events,
+        | MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e3_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
