@@ -26,15 +26,11 @@ object Text {
   def md5Fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
 
   /** Token n-gram shingles (distinct not applied — callers decide).
-    * `shingles(col, 3)` on "a b c d" → ["a b c", "b c d"]. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+    * `shingles(col, 3)` on "a b c d" → ["a b c", "b c d"]. Native
+    * expression: tokenize + shingle in one codegen'd pass (the
+    * `transform`+`slice` composition is interpreted per element and was a
+    * bench hotspot). */
+  def shingles(c: Column, n: Int): Column = NativeExprs.tokenShingles(c, n)
 
   /** Character n-gram shingles over the normalized text. */
   def charShingles(c: Column, n: Int): Column = {

@@ -54,15 +54,16 @@ object Dedup {
   }
 
   /** MinHash signatures: per document, `numHashes` independent min-hashes
-    * over its shingle set (hash family = xxhash64 seeded by index). One
-    * aggregation pass computes all of them. */
+    * over its shingle multiset (min is duplicate-insensitive, so no
+    * distinct pass is needed). Computed by the native
+    * [[graft.functions.MinHashSig]] expression in one per-row loop — no
+    * explode, no shuffle, no 32-column aggregate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, shingleN)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-  }
+      shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeExprs.minhashSig(
+        graft.functions.Text.shingles(col(textCol), shingleN), numHashes)
+        .as("sig"))
 
   /** MinHash + LSH near-dup pairs: signatures → `bands` band-hashes →
     * bucket join on (band index, band hash) → exact Jaccard verification of
@@ -75,8 +76,8 @@ object Dedup {
     val r = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until r).map(j => col(s"h${b * r + j}"))
-      struct(lit(b).as("band"), hash(slice: _*).as("bh"))
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bs"))
@@ -107,20 +108,13 @@ object Dedup {
 
   /** 64-bit SimHash per document: each token hash votes ±1 on every bit
     * position, weighted by term frequency; the sign vector packs into one
-    * long. One explode + one aggregation — no pairwise work. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i"))
-    val agged = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col("id"), sig.as("simhash"))
-  }
+    * long. Native [[graft.functions.SimHash64]] expression — one per-row
+    * loop, no explode/aggregate (the 64-column aggregate formulation spent
+    * seconds in codegen alone). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeExprs.simhash64(Text.tokens(col(textCol)))
+        .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist: candidates
     * from 16-bit band buckets (any pair within distance 3 shares at least

@@ -4,20 +4,19 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Vector math over `ArrayType` columns as pure column expressions
-  * (`zip_with` + `aggregate` are codegen'd higher-order functions — no UDF,
-  * no boxing per element beyond the array itself). Elements are cast to
-  * double before multiplying so accumulation is IEEE-deterministic in array
-  * order. */
+/** Vector math over `ArrayType` columns, backed by the native codegen'd
+  * expressions in [[graft.functions.NativeExprs]] (one tight loop per row;
+  * higher-order `zip_with`+`aggregate` lambdas are interpreted per element
+  * and were the dominant cost in the ANN/dedup benchmarks). Elements
+  * promote to double before multiplying and accumulate in array order, so
+  * results are IEEE-deterministic and match the unnest-zip SQL oracle. */
 object Vectors {
 
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (norm(a) * norm(b))
+    graft.functions.NativeExprs.cosineSim(a, b)
 }

@@ -58,8 +58,11 @@ object CoreQueries {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
+    // no broadcast hint on customer: it is only conditionally small (the
+    // segment filter), so let AQE pick from runtime stats; nation/region
+    // style bounded dims (q7) do get explicit hints.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate").cast(DateType).as("o_orderdate"), o("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("o_orderkey"))
