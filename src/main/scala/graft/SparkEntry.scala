@@ -20,10 +20,14 @@ object SparkEntry {
     * training-data-pipeline extensions (dedup / similarity / text /
     * multimodal / events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++ graft.queries.ExtensionQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.MoreQueries.queries ++
+      graft.queries.ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles ++ graft.queries.ExtensionQueries.oracles
+    graft.queries.CoreQueries.oracles ++
+      graft.queries.MoreQueries.oracles ++
+      graft.queries.ExtensionQueries.oracles
 }

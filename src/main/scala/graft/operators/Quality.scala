@@ -38,18 +38,27 @@ object Quality {
   /** Pre-load DQ gate (reference tools.py:106-118, ops.py:34-47):
     * `rows >= minRows`, all `nonnullCols` fully non-null, optional
     * freshness `now − max(ts) <= freshnessMinutes`. */
+  /** The single-pass DQ metrics frame (one row): `n_rows`, per-column
+    * `nulls_<c>`, optional `max_ts`. Exposed so the metrics themselves are
+    * a queryable operator (oracle-checkable); [[dqCheck]] evaluates the
+    * gates on its collected row. */
+  def dqMetricsDf(df: DataFrame, nonnullCols: Seq[String] = Nil,
+      timestampCol: Option[String] = None): DataFrame = {
+    val nullAggs = nonnullCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    val tsAgg = timestampCol.map(c => max(toTs(df, c)).as("max_ts")).toSeq
+    val aggs = (count(lit(1)).as("n_rows") +: nullAggs) ++ tsAgg
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   def dqCheck(df: DataFrame, minRows: Long = 1,
       nonnullCols: Seq[String] = Nil,
       freshnessMinutes: Option[Long] = None,
       timestampCol: Option[String] = None,
       clock: Clock = SystemClock): DqResult = {
-    val nullAggs = nonnullCols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    val tsAgg = timestampCol.map(c => max(toTs(df, c)).as("max_ts")).toSeq
-    val aggs = (count(lit(1)).as("rows") +: nullAggs) ++ tsAgg
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = dqMetricsDf(df, nonnullCols, timestampCol).collect()(0)
 
-    val rows = row.getAs[Long]("rows")
+    val rows = row.getAs[Long]("n_rows")
     val nullCounts = nonnullCols.map(c =>
       c -> Option(row.getAs[Any](s"nulls_$c")).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
     val nonnullOk = nullCounts.values.forall(_ == 0L)

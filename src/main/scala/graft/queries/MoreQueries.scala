@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.{AsOf, Quality, Transform}
+import graft.plan.TransformStep
+
+/** Second SQL-surface batch: grouping sets, correlated subqueries, range
+  * (band) joins, ranking windows, as-of join, union-distinct, HAVING,
+  * math/array function coverage, OFFSET pagination — plus the pipeline
+  * operators themselves (§2A) surfaced as oracle-checkable queries
+  * (CSV sink/source round-trip, multi-step SQL fold, expression column,
+  * DQ metrics). */
+object MoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    c.cast(DecimalType(18, scale))
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  // ── q16: GROUPING SETS + grouping() flags (SQL entry) ───────────────────
+  def q16_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  // ── q17: correlated scalar subquery (Catalyst decorrelates to a join) ───
+  def q17_correlated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT p_partkey, p_name, p_retailprice FROM part p
+        |WHERE (SELECT COALESCE(AVG(l.l_quantity), 0) FROM lineitem l
+        |       WHERE l.l_partkey = p.p_partkey) > 28
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  // ── q18: range join against static bands — compiled to a CASE instead
+  //        of an inequality join (no BNLJ; the scale-safe banding form) ───
+  def q18_price_bands(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice")
+    val band = when(price < 20000.0, "low")
+      .when(price < 60000.0, "mid").otherwise("high")
+    t(s, dir, "lineitem")
+      .groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n"), dsum(price).as("total"))
+      .orderBy(col("band"))
+  }
+
+  // ── q19: ranking windows — ntile / percent_rank / rank / first_value ────
+  def q19_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, dir, "supplier").select(
+      col("s_suppkey"), col("s_name"),
+      ntile(4).over(w).cast(LongType).as("quartile"),
+      percent_rank().over(w).cast(DoubleType).as("pr"),
+      rank().over(w).cast(LongType).as("rnk"),
+      dense_rank().over(w).cast(LongType).as("drnk"),
+      first_value(col("s_name")).over(w).as("top_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // ── q20: as-of join (purchases ↔ latest prior click per user) ──────────
+  def q20_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    AsOf.joinLastBefore(purchases, clicks, "user_id", "ts_us", "ts_us",
+        rightVals = Seq("ts_us"))
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_ts"), col("asof_ts_us").as("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  // ── q21: UNION with set (distinct) semantics ────────────────────────────
+  def q21_union_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  // ── q22: HAVING over grouped counts ─────────────────────────────────────
+  def q22_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .filter(col("n") > 40)
+      .orderBy(col("l_partkey"))
+
+  // ── q23: math function surface ──────────────────────────────────────────
+  def q23_math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      round(sqrt(col("p_retailprice")), 6).as("sqrt_p"),
+      round(log(col("p_retailprice")), 6).as("ln_p"),
+      round(exp(col("p_size") / lit(10.0)), 6).as("exp_s"),
+      round(pow(col("p_size"), 2), 6).as("pow_s"),
+      abs(col("p_size") - 25).as("abs_d"),
+      floor(col("p_retailprice")).as("flr"),
+      ceil(col("p_retailprice")).as("cl"),
+      (col("p_size") % 7).as("md"))
+      .orderBy(col("p_partkey"))
+
+  // ── q24: array function surface over the embedding column ───────────────
+  def q24_array_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("first_val"),
+      round(array_max(col("embedding")).cast(DoubleType), 6).as("max_val"),
+      round(array_min(col("embedding")).cast(DoubleType), 6).as("min_val"))
+      .orderBy(col("vec_id"))
+
+  // ── q25: ORDER BY + LIMIT/OFFSET pagination ─────────────────────────────
+  def q25_offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(10).limit(20)
+
+  // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
+  //        the single-file sink, read it back with the pandas-compat
+  //        reader, aggregate — oracle aggregates the parquet directly, so
+  //        a hash match proves value-preserving CSV round-trip ───────────
+  def p1_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+    val out = java.nio.file.Files.createTempDirectory("graft_rt")
+      .resolve("slice.csv").toString
+    graft.sinks.CsvSink.writeSingleFile(sample, out)
+    graft.sources.Sources.loadCsv(s, out, maxBytes = Long.MaxValue)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
+  def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    Transform.runSteps(s, Seq(
+      TransformStep("high_value",
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000"),
+      TransformStep("by_cust",
+        """SELECT o_custkey, COUNT(*) AS n,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM high_value GROUP BY o_custkey""".stripMargin),
+      TransformStep("final",
+        """SELECT b.o_custkey, c.c_name, b.n, b.total
+          |FROM by_cust b JOIN customer c ON b.o_custkey = c.c_custkey
+          |ORDER BY b.o_custkey""".stripMargin)))
+  }
+
+  // ── p3: expression-column operator (§2A #8, python_udf → expr) ─────────
+  def p3_expr_column(s: SparkSession, dir: String): DataFrame =
+    Transform.withExprColumn(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount")),
+      "l_extendedprice * (1 - l_discount)", "net")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ── p4: DQ metrics as data (§2A #11) ───────────────────────────────────
+  def p4_dq_metrics(s: SparkSession, dir: String): DataFrame =
+    Quality.dqMetricsDf(t(s, dir, "orders"),
+      nonnullCols = Seq("o_custkey", "o_totalprice"),
+      timestampCol = Some("o_orderdate"))
+
+  // ── t4: token counting — whitespace + BPE-ish subword estimate ─────────
+  def t4_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).cast(IntegerType)
+        .as("n_tokens"),
+      expr("""CAST(aggregate(transform(split(trim(text), '\\s+'),
+             |  w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 0L, (a, x) -> a + x)
+             |AS BIGINT)""".stripMargin).as("est_tokens"))
+      .orderBy(col("doc_id"))
+
+  // ── a1: approximate aggregates (rows-only: sketch values are
+  //        engine-specific; accuracy asserted in ScalaTest) ───────────────
+  def a1_approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("median_price_approx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_grouping_sets" -> (q16_grouping_sets _),
+    "q17_correlated"    -> (q17_correlated _),
+    "q18_price_bands"   -> (q18_price_bands _),
+    "q19_window_rank"   -> (q19_window_rank _),
+    "q20_asof_join"     -> (q20_asof_join _),
+    "q21_union_distinct" -> (q21_union_distinct _),
+    "q22_having"        -> (q22_having _),
+    "q23_math"          -> (q23_math _),
+    "q24_array_funcs"   -> (q24_array_funcs _),
+    "q25_offset"        -> (q25_offset _),
+    "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
+    "p2_multi_step"     -> (p2_multi_step _),
+    "p3_expr_column"    -> (p3_expr_column _),
+    "p4_dq_metrics"     -> (p4_dq_metrics _),
+    "t4_token_count"    -> (t4_token_count _),
+    "a1_approx"         -> (a1_approx _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_grouping_sets" ->
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        | o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
+    "q17_correlated" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part p
+        |WHERE (SELECT COALESCE(AVG(l.l_quantity), 0) FROM lineitem l
+        |       WHERE l.l_partkey = p.p_partkey) > 28
+        |ORDER BY p_partkey""".stripMargin,
+    "q18_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+        |  ('high', 60000.0, 1e18))
+        |SELECT b.band, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_window_rank" ->
+      """SELECT s_suppkey, s_name,
+        | NTILE(4) OVER w AS quartile,
+        | CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+        | CAST(RANK() OVER w AS BIGINT) AS rnk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        | FIRST_VALUE(s_name) OVER w AS top_name
+        |FROM supplier
+        |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |       c.ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q21_union_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q22_having" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40
+        |ORDER BY l_partkey""".stripMargin,
+    "q23_math" ->
+      """SELECT p_partkey,
+        | ROUND(sqrt(p_retailprice), 6) AS sqrt_p,
+        | ROUND(ln(p_retailprice), 6) AS ln_p,
+        | ROUND(exp(p_size / 10.0), 6) AS exp_s,
+        | ROUND(power(p_size, 2), 6) AS pow_s,
+        | abs(p_size - 25) AS abs_d,
+        | CAST(floor(p_retailprice) AS BIGINT) AS flr,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        | CAST(p_size % 7 AS INT) AS md
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q24_array_funcs" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INT) AS dim,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        | ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+        | ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q25_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "p1_csv_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "p2_multi_step" ->
+      """WITH high_value AS (
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000),
+        |by_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM high_value GROUP BY o_custkey)
+        |SELECT b.o_custkey, c.c_name, b.n, b.total
+        |FROM by_cust b JOIN customer c ON b.o_custkey = c.c_custkey
+        |ORDER BY b.o_custkey""".stripMargin,
+    "p3_expr_column" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        | l_extendedprice * (1 - l_discount) AS net
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p4_dq_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+        | CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+        | CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_ts
+        |FROM orders""".stripMargin,
+    "t4_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |   w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
