@@ -17,6 +17,32 @@ object LogAlerter extends Alerter {
   }
 }
 
+/** Webhook alerter (the reference stubs a Slack webhook,
+  * tools.py:267-271 + plan schema `alerts.webhook_url`,
+  * templates.py:8): POSTs `{channel, text}` JSON to the configured URL
+  * from the driver. Failures degrade to a returned error string — an
+  * alert must never take the pipeline down. */
+class WebhookAlerter(webhookUrl: String,
+    timeoutSeconds: Long = 10) extends Alerter {
+  def send(channel: String, message: String): String =
+    try {
+      def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val body = s"""{"channel": ${j(channel)}, "text": ${j(message)}}"""
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(webhookUrl))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) "sent"
+      else s"error: HTTP ${resp.statusCode()}"
+    } catch { case e: Exception => s"error: ${e.getMessage}" }
+}
+
 /** Terminal result contract (reference templates.py:130-170):
   * `{status, dq?, message?, verify?}`. */
 final case class RunResult(
@@ -83,12 +109,17 @@ class Engine(
         RunResult("failed", error = Some(e.toString))
     }
 
+  /** `alerts.webhook_url` routes through the webhook alerter; otherwise
+    * the injected one (default: stdout log, the reference's stub). */
+  private def alerterFor(plan: Plan): Alerter =
+    plan.alerts.webhookUrl.map(new WebhookAlerter(_)).getOrElse(alerter)
+
   def run(plan: Plan): RunResult =
     try runStages(plan)
     catch {
       case e: Exception =>
         plan.alerts.onFail.foreach(ch =>
-          alerter.send(ch, s"Pipeline failed: ${e.getMessage}"))
+          alerterFor(plan).send(ch, s"Pipeline failed: ${e.getMessage}"))
         RunResult("failed", error = Some(e.toString))
     }
 
@@ -115,7 +146,7 @@ class Engine(
         plan.checks.timestampCol, clock)
     if (!dq.status) {
       val ch = plan.alerts.onDqFail.orElse(plan.alerts.onFail)
-      ch.foreach(c => alerter.send(c, s"DQ failed: rows=${dq.rows} " +
+      ch.foreach(c => alerterFor(plan).send(c, s"DQ failed: rows=${dq.rows} " +
         s"nonnull_ok=${dq.nonnullOk} fresh_ok=${dq.freshOk}"))
       return RunResult("failed", dq = Some(dq))
     }
@@ -151,7 +182,7 @@ class Engine(
           tsCol = vf.tsCol, maxLagMinutes = vf.maxLagMinutes, clock = clock)
     }
     if (!ver.status) {
-      plan.alerts.onFail.foreach(c => alerter.send(c,
+      plan.alerts.onFail.foreach(c => alerterFor(plan).send(c,
         s"Verify failed: rows=${ver.rows} error=${ver.error.getOrElse("")}"))
       return RunResult("failed", dq = Some(dq), verify = Some(ver))
     }
