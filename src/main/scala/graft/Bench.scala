@@ -14,9 +14,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (codegen compiler, parquet footers, FS cache)
-    // so the first measured query isn't charged for JVM/session startup.
+    // Warm the session once (codegen compiler, parquet footers, FS cache,
+    // shuffle + sort machinery) so the first measured query isn't charged
+    // for JVM/session startup.
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // exercise the expression/operator classes the suite uses so JIT +
+      // Janino warm-up isn't charged to whichever query runs first:
+      // shuffle, sort, window, regex, md5, explode, broadcast join
+      val base = spark.range(20000)
+        .withColumn("s", concat(lit("w"), col("id") % 97))
+      val agged = base
+        .groupBy((col("id") % 7).as("k"))
+        .agg(sum(col("id")).as("s1"), count(lit(1)).as("n"))
+      val dim = spark.range(7).withColumn("k", col("id"))
+      agged.join(broadcast(dim), "k").orderBy(col("s1")).count()
+      base.select(md5(regexp_replace(col("s"), "[0-9]", "x")).as("h"),
+          row_number().over(Window.partitionBy(col("id") % 5)
+            .orderBy(col("id"))).as("rn"),
+          explode(split(col("s"), "w")).as("e"))
+        .filter(col("rn") > 0).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

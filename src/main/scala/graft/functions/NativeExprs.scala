@@ -118,6 +118,36 @@ object NativeVec {
     s
   }
 
+  /** All hyperplane-sign LSH signatures for one vector in one pass.
+    * `planes` is laid out `[table * bitsPerTable + bit]`; returns one
+    * packed sign-bit long per table. */
+  def hyperSigs(vec: ArrayData, planes: Array[Array[Double]],
+      bitsPerTable: Int, isFloat: Boolean): ArrayData = {
+    val nTables = planes.length / bitsPerTable
+    val out = new Array[Any](nTables)
+    val dim = vec.numElements()
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val p = planes(t * bitsPerTable + b)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(dim, p.length)
+        while (i < n) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          dot += x * p(i); i += 1
+        }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = Long.box(sig)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity in one pass (dot + both norms in the same loop). */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -200,8 +230,37 @@ case class CosineSimF(left: Expression, right: Expression) extends VecBinary {
     copy(left = l, right = r)
 }
 
+/** All LSH hyperplane signatures for a vector in one expression (one
+  * packed long per table). The plane matrix rides along as a codegen
+  * reference object — no per-row literal-array construction, no 24
+  * separate dot-product expression nodes. */
+case class HyperplaneSigs(child: Expression,
+    planes: Array[Array[Double]], bitsPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sigs"
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVec.hyperSigs(input.asInstanceOf[ArrayData], planes, bitsPerTable, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVec.hyperSigs($c, $ref, $bitsPerTable, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object NativeExprs {
+  def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
+      bitsPerTable: Int): Column =
+    ColumnBridge.column(
+      HyperplaneSigs(ColumnBridge.expression(vec), planes, bitsPerTable))
   def tokenShingles(c: Column, n: Int): Column =
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
   def minhashSig(shingles: Column, k: Int): Column =

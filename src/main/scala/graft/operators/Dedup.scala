@@ -144,15 +144,11 @@ object Dedup {
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
-      val dot = Vectors.dotProduct(col("v"), planeCol)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
+    val planes: Array[Array[Double]] =
+      Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+      .withColumn("bucket", element_at(
+        graft.functions.NativeExprs.hyperplaneSigs(col("v"), planes, nPlanes), 1))
     val cos = Vectors.cosine(col("x.v"), col("y.v"))
     bucketed.as("x")
       .join(bucketed.as("y"),

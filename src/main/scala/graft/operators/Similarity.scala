@@ -47,33 +47,33 @@ object Similarity {
       nPlanes: Int = 8, nTables: Int = 4, multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val tables: Seq[Seq[Seq[Double]]] = Seq.fill(nTables)(
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
-    def signature(vec: org.apache.spark.sql.Column, t: Int) =
-      tables(t).zipWithIndex.map { case (p, i) =>
-        when(Vectors.dotProduct(vec, array(p.map(lit(_)): _*)) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    def bucketStruct(vec: org.apache.spark.sql.Column, t: Int,
-        sig: org.apache.spark.sql.Column) =
+    val planes: Array[Array[Double]] =
+      Array.fill(nTables * nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    def sigs(vec: org.apache.spark.sql.Column) =
+      graft.functions.NativeExprs.hyperplaneSigs(vec, planes, nPlanes)
+    def bucketStruct(t: Int, sig: org.apache.spark.sql.Column) =
       struct(lit(t).as("tbl"), sig.as("sig"))
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("__sigs", sigs(col("cv")))
       .withColumn("bucket", explode(array(
         (0 until nTables).map(t =>
-          bucketStruct(col("cv"), t, signature(col("cv"), t))): _*)))
+          bucketStruct(t, element_at(col("__sigs"), t + 1))): _*)))
+      .drop("__sigs")
     val qProbeCols = (0 until nTables).flatMap { t =>
-      val sig = signature(col("qv"), t)
-      val base = Seq(bucketStruct(col("qv"), t, sig))
+      val sig = element_at(col("__sigs"), t + 1)
+      val base = Seq(bucketStruct(t, sig))
       val probes = if (multiProbe)
         (0 until nPlanes).map(i =>
-          bucketStruct(col("qv"), t, sig.bitwiseXOR(lit(1L << i))))
+          bucketStruct(t, sig.bitwiseXOR(lit(1L << i))))
       else Nil
       base ++ probes
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(array(qProbeCols: _*))))
+      .withColumn("__sigs", sigs(col("qv")))
+      .withColumn("bucket", explode(array(qProbeCols: _*)))
+      .drop("__sigs"))
 
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))

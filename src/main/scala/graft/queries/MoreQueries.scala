@@ -134,6 +134,23 @@ object MoreQueries {
       .orderBy(col("o_orderkey"))
       .offset(10).limit(20)
 
+  // ── q26: date/time function surface ─────────────────────────────────────
+  def q26_date_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("qtr"),
+      month(col("o_orderdate")).as("mth"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      weekday(col("o_orderdate")).as("wd"), // 0 = Monday
+      weekofyear(col("o_orderdate")).as("wk"),
+      date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+      datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).as("days_since"),
+      last_day(col("o_orderdate").cast(DateType)).as("month_end"),
+      date_trunc("quarter", col("o_orderdate")).cast(DateType).as("qstart"))
+      .orderBy(col("o_orderkey"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -215,6 +232,7 @@ object MoreQueries {
     "q23_math"          -> (q23_math _),
     "q24_array_funcs"   -> (q24_array_funcs _),
     "q25_offset"        -> (q25_offset _),
+    "q26_date_funcs"    -> (q26_date_funcs _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -295,6 +313,19 @@ object MoreQueries {
     "q25_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "q26_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        | CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+        | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+        | CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+        | CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        | CAST(week(o_orderdate) AS INT) AS wk,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
