@@ -88,8 +88,12 @@ object CoreQueries {
   // ── q5: window functions — row_number + exact running sum ───────────────
   def q5_window(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data at
+    // larger scale factors — extend the order to a total order so rank
+    // assignment is engine-independent
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_partkey"))
     t(s, dir, "lineitem")
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -259,10 +263,10 @@ object CoreQueries {
     "q5_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | ROW_NUMBER() OVER w AS rn,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
         | LAG(l_quantity, 1) OVER w AS prev_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_partkey)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q6_dateparse" ->
       """WITH s AS (

@@ -137,6 +137,35 @@ object ExtensionQueries {
           .cast(IntegerType)).as("sum_k"))
       .orderBy(col("event_type"))
 
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** e1's hourly aggregation executed through Structured Streaming
+    * (`readStream` over the same parquet, AvailableNow-style drain into a
+    * memory sink) — hash-matching e1's oracle proves batch/stream parity
+    * of the windowed aggregation. */
+  def e4_stream_hourly(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_hourly_${streamRunSeq.incrementAndGet()}"
+    // the streaming file source wants a directory; glob-filter to the one
+    // table file inside the sf dir
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -167,6 +196,7 @@ object ExtensionQueries {
     "e1_events_hourly"     -> (e1_events_hourly _),
     "e2_sessionize"        -> (e2_sessionize _),
     "e3_json_props"        -> (e3_json_props _),
+    "e4_stream_hourly"     -> (e4_stream_hourly _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** DuckDB oracles for the SQL-expressible subset. Engine-specific hash
@@ -261,5 +291,10 @@ object ExtensionQueries {
     "e3_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e4_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

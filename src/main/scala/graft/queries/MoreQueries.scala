@@ -151,6 +151,18 @@ object MoreQueries {
       date_trunc("quarter", col("o_orderdate")).cast(DateType).as("qstart"))
       .orderBy(col("o_orderkey"))
 
+  // ── q27: pivot (wide conditional aggregation) ───────────────────────────
+  def q27_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -233,6 +245,7 @@ object MoreQueries {
     "q24_array_funcs"   -> (q24_array_funcs _),
     "q25_offset"        -> (q25_offset _),
     "q26_date_funcs"    -> (q26_date_funcs _),
+    "q27_pivot"         -> (q27_pivot _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -326,6 +339,12 @@ object MoreQueries {
         | last_day(CAST(o_orderdate AS DATE)) AS month_end,
         | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q27_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
