@@ -163,6 +163,28 @@ object MoreQueries {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  // ── q28: exact percentiles + dispersion statistics ──────────────────────
+  def q28_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"))
+      .orderBy(col("l_returnflag"))
+
+  // ── q29: regex function surface ─────────────────────────────────────────
+  def q29_regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      col("p_name").rlike("^[a-z]+ [a-z]+").as("two_words"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy(col("p_partkey"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -246,6 +268,8 @@ object MoreQueries {
     "q25_offset"        -> (q25_offset _),
     "q26_date_funcs"    -> (q26_date_funcs _),
     "q27_pivot"         -> (q27_pivot _),
+    "q28_stats"         -> (q28_stats _),
+    "q29_regex"         -> (q29_regex _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -345,6 +369,20 @@ object MoreQueries {
         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q28_stats" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | ROUND(stddev_samp(l_extendedprice), 2) AS sd,
+        | ROUND(var_samp(l_discount), 6) AS var_disc,
+        | ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
