@@ -120,12 +120,14 @@ object Quality {
       def pushed(q: String): DataFrame =
         spark.read.format("jdbc").option("url", url).option("query", q)
           .options(props).load()
+      // read by position: databases fold unquoted aliases differently
+      // (Derby → N, Postgres → n) and COUNT may come back as INTEGER
       val rows = pushed(s"SELECT COUNT(*) AS n FROM $qt")
-        .collect()(0).getAs[Number]("n").longValue()
+        .collect()(0).get(0).asInstanceOf[Number].longValue()
       val lag = tsCol.map { c =>
         val qc = graft.sources.Jdbc.quoteIdent(c)
         val r = pushed(s"SELECT MAX($qc) AS mx FROM $qt").collect()(0)
-        Option(r.getAs[java.sql.Timestamp]("mx"))
+        Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp])
           .map(ts => (clock.nowEpochMillis - ts.getTime) / 60000.0)
       }.flatten
       val freshOk = tsCol.isEmpty || lag.exists(_ <= maxLagMinutes.toDouble)

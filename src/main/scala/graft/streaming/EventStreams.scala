@@ -36,6 +36,15 @@ object EventStreams {
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: duplicates arriving within the watermark
+    * window are dropped; state expires with the watermark so it is bounded
+    * by the dedup horizon, not the stream's lifetime — the streaming twin
+    * of `Dedup.exact` for continuous ingestion pipelines. */
+  def dedupWithinWatermark(events: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * `flatMapGroupsWithState` + event-time timeout. State per user is one
     * small buffer; the watermark expires idle sessions so state size is

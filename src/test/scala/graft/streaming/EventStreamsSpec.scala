@@ -32,6 +32,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "event_id", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0), // same-batch dup
+        Event(2, ts(5), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(10), 1, "click", 1.0)) // cross-batch dup id
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
