@@ -116,7 +116,7 @@ object Quality {
       clock: Clock = SystemClock): VerifyResult =
     try {
       val (url, props) = graft.sources.Jdbc.fromSqlAlchemy(connStr)
-      val qt = graft.sources.Jdbc.quoteIdent(table)
+      val qt = graft.sources.Jdbc.tableRef(table)
       def pushed(q: String): DataFrame =
         spark.read.format("jdbc").option("url", url).option("query", q)
           .options(props).load()

@@ -185,6 +185,33 @@ object MoreQueries {
       regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
       .orderBy(col("p_partkey"))
 
+  // ── q30: multiset set operations (INTERSECT ALL / EXCEPT ALL) ──────────
+  def q30_setops_all(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.intersectAll(sn).withColumn("tag", lit("inter_all"))
+      .unionByName(cn.exceptAll(sn).withColumn("tag", lit("except_all")))
+      .select(col("tag"), col("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  // ── q31: ordered string aggregation ─────────────────────────────────────
+  def q31_list_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+        .as("names"), count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+
+  // ── q32: aggregate semantics over empty input (NULL sums, 0 count) ─────
+  def q32_empty_aggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 0)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("s"),
+        max(col("l_shipdate")).cast(DateType).as("mx"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -270,6 +297,9 @@ object MoreQueries {
     "q27_pivot"         -> (q27_pivot _),
     "q28_stats"         -> (q28_stats _),
     "q29_regex"         -> (q29_regex _),
+    "q30_setops_all"    -> (q30_setops_all _),
+    "q31_list_agg"      -> (q31_list_agg _),
+    "q32_empty_aggs"    -> (q32_empty_aggs _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -383,6 +413,25 @@ object MoreQueries {
         | regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words,
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q30_setops_all" ->
+      """SELECT 'inter_all' AS tag, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except_all', nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q31_list_agg" ->
+      """SELECT s_nationkey,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names,
+        | COUNT(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q32_empty_aggs" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        | CAST(MAX(l_shipdate) AS DATE) AS mx
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

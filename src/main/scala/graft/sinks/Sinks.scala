@@ -68,7 +68,10 @@ object JdbcSink {
         require(keyCols.nonEmpty, "upsert requires key_cols")
         val stage = s"${table}_stg"
         df.write.mode(SaveMode.Overwrite).jdbc(url, stage, p)
-        val sql = upsertSql(table, stage, df.columns.toSeq, keyCols)
+        val sql =
+          if (url.startsWith("jdbc:postgresql"))
+            upsertSql(table, stage, df.columns.toSeq, keyCols)
+          else mergeSql(table, stage, df.columns.toSeq, keyCols)
         val conn = java.sql.DriverManager.getConnection(url, p)
         try {
           conn.setAutoCommit(false)
@@ -87,8 +90,8 @@ object JdbcSink {
     * tools.py:92-96 with quoted identifiers. */
   private[sinks] def upsertSql(table: String, stage: String,
       cols: Seq[String], keyCols: Seq[String]): String = {
-    val qTable = Jdbc.quoteIdent(table)
-    val qStage = Jdbc.quoteIdent(stage)
+    val qTable = Jdbc.tableRef(table)
+    val qStage = Jdbc.tableRef(stage)
     val colList = cols.map(Jdbc.quoteIdent).mkString(", ")
     val keyList = keyCols.map(Jdbc.quoteIdent).mkString(", ")
     val updates = cols.filterNot(keyCols.contains).map(c =>
@@ -96,5 +99,23 @@ object JdbcSink {
     val action = if (updates.isEmpty) "DO NOTHING" else s"DO UPDATE SET $updates"
     s"INSERT INTO $qTable ($colList) SELECT $colList FROM $qStage " +
       s"ON CONFLICT ($keyList) $action"
+  }
+
+  /** Standard SQL `MERGE` upsert from stage — the portable form for
+    * databases without Postgres `ON CONFLICT` (Derby, SQL Server, …). */
+  private[sinks] def mergeSql(table: String, stage: String,
+      cols: Seq[String], keyCols: Seq[String]): String = {
+    val qTable = Jdbc.tableRef(table)
+    val qStage = Jdbc.tableRef(stage)
+    val on = keyCols.map(k =>
+      s"t.${Jdbc.quoteIdent(k)} = s.${Jdbc.quoteIdent(k)}").mkString(" AND ")
+    val updates = cols.filterNot(keyCols.contains).map(c =>
+      s"t.${Jdbc.quoteIdent(c)} = s.${Jdbc.quoteIdent(c)}").mkString(", ")
+    val colList = cols.map(Jdbc.quoteIdent).mkString(", ")
+    val valList = cols.map(c => s"s.${Jdbc.quoteIdent(c)}").mkString(", ")
+    val matched =
+      if (updates.isEmpty) "" else s" WHEN MATCHED THEN UPDATE SET $updates"
+    s"MERGE INTO $qTable t USING $qStage s ON $on$matched " +
+      s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"
   }
 }

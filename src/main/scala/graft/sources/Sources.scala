@@ -195,4 +195,18 @@ object Jdbc {
     * injection surface the reference acknowledges (tools.py:138). */
   def quoteIdent(ident: String): String =
     ident.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
+
+  private val plainIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Table reference for raw SQL against tables Spark's JDBC writer
+    * created: Spark passes table names through UNQUOTED (while quoting
+    * column names), so the database applied its own case folding — quoting
+    * here would produce a case-mismatched name. Plain identifiers pass
+    * verbatim; anything else (spaces, quotes, punctuation) is quoted,
+    * keeping the injection surface closed. */
+  def tableRef(ident: String): String =
+    ident.split('.').map {
+      case p if plainIdent.matches(p) => p
+      case p => "\"" + p.replace("\"", "\"\"") + "\""
+    }.mkString(".")
 }

@@ -58,6 +58,22 @@ class JdbcIntegrationSpec extends SparkSpec {
     assert(!missing.status && missing.error.isDefined)
   }
 
+  test("upsert via MERGE: updates matches, inserts new keys") {
+    val initial = Seq((1L, "old", 10.0), (2L, "keep", 20.0))
+      .toDF("id", "name", "price")
+    JdbcSink.write(initial, dbUrl, "UPS", mode = "replace")
+    val delta = Seq((1L, "updated", 11.0), (3L, "new", 30.0))
+      .toDF("id", "name", "price")
+    val msg = JdbcSink.write(delta, dbUrl, "UPS",
+      mode = "upsert", keyCols = Seq("id"))
+    assert(msg.contains("upserted"))
+    val back = Sources.fetchDb(spark, dbUrl,
+      """SELECT "id", "name", "price" FROM UPS""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set(
+      (1L, "updated", 11.0), (2L, "keep", 20.0), (3L, "new", 30.0)))
+  }
+
   test("engine end-to-end with JDBC load + verify_table") {
     val dir = tmpDir("jdbcplan")
     java.nio.file.Files.writeString(dir.resolve("in.csv"),

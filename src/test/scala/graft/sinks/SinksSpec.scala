@@ -40,14 +40,25 @@ class SinksSpec extends SparkSpec {
     assert(parts == 4)
   }
 
-  test("upsert SQL mirrors the staging strategy with quoted identifiers") {
+  test("upsert SQL mirrors the staging strategy with safe identifiers") {
+    // table names pass verbatim (Spark's JDBC writer created them
+    // unquoted, so the DB case-folded them); columns stay quoted (the
+    // writer quotes those)
     val sql = JdbcSink.upsertSql("analytics.t", "analytics.t_stg",
       Seq("sku", "name", "price"), Seq("sku"))
     assert(sql ==
-      """INSERT INTO "analytics"."t" ("sku", "name", "price") """ +
-      """SELECT "sku", "name", "price" FROM "analytics"."t_stg" """ +
+      """INSERT INTO analytics.t ("sku", "name", "price") """ +
+      """SELECT "sku", "name", "price" FROM analytics.t_stg """ +
       """ON CONFLICT ("sku") DO UPDATE SET "name" = EXCLUDED."name", "price" = EXCLUDED."price"""")
     val allKeys = JdbcSink.upsertSql("t", "t_stg", Seq("k"), Seq("k"))
     assert(allKeys.endsWith("DO NOTHING"))
+    // hostile table names still get quoted
+    assert(JdbcSink.upsertSql("t; DROP TABLE x", "t_stg", Seq("k"), Seq("k"))
+      .startsWith("INSERT INTO \"t; DROP TABLE x\""))
+    val merge = JdbcSink.mergeSql("tgt", "tgt_stg", Seq("k", "v"), Seq("k"))
+    assert(merge ==
+      """MERGE INTO tgt t USING tgt_stg s ON t."k" = s."k"""" +
+      """ WHEN MATCHED THEN UPDATE SET t."v" = s."v"""" +
+      """ WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")""")
   }
 }
