@@ -49,6 +49,40 @@ class SkewLedgerSpec extends SparkSpec {
     assert(ledger.getState("missing").isEmpty)
   }
 
+  test("incremental processing advances the watermark and is idempotent") {
+    val dir = tmpDir("incr").toString
+    var now = 1704067200000L
+    val clock = new Clock { def nowEpochMillis: Long = { now += 1000; now } }
+    val ledger = new graft.engine.Ledger(spark, dir, clock)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("id", "updated")
+
+    var processed = Seq.empty[Long]
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Incremental.processNew(ledger, "events_wm", df, "updated") { fresh =>
+        processed = fresh.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      }
+
+    val r1 = run(batch1)
+    assert(r1.newRows == 2 && processed == Seq(1L, 2L))
+    assert(Incremental.currentWatermark(ledger, "events_wm")
+      .contains(ts("2024-01-01 11:00:00")))
+
+    processed = Seq.empty
+    val r2 = run(batch1) // same data again: nothing new
+    assert(r2.newRows == 0 && processed.isEmpty)
+    assert(r2.watermark.contains(ts("2024-01-01 11:00:00")))
+
+    val batch2 = batch1.union(Seq(
+      (3L, ts("2024-01-01 12:30:00"))).toDF("id", "updated"))
+    val r3 = run(batch2) // only the new row flows through
+    assert(r3.newRows == 1 && processed == Seq(3L))
+    assert(Incremental.currentWatermark(ledger, "events_wm")
+      .contains(ts("2024-01-01 12:30:00")))
+  }
+
   test("approx aggregates are close to exact (a1 sanity)") {
     val a = graft.queries.MoreQueries.a1_approx(spark, sf).collect()(0)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
