@@ -159,6 +159,10 @@ class Engine(
         val path = load.filePath.getOrElse(
           throw new IllegalArgumentException("csv load requires file_path"))
         CsvSink.writeSingleFile(transformed, path, load.includeHeader)
+      case "parquet" =>
+        val path = load.filePath.getOrElse(
+          throw new IllegalArgumentException("parquet load requires file_path"))
+        graft.sinks.ParquetSink.write(transformed, path, load.partitionBy)
       case _ =>
         JdbcSink.write(transformed,
           load.connStr.getOrElse(throw new IllegalArgumentException(
@@ -173,6 +177,12 @@ class Engine(
     val ver = load.to match {
       case "csv" =>
         Quality.verifyCsv(spark, load.filePath.get,
+          minRows = vf.minRows.getOrElse(plan.checks.minRows),
+          nonnullCols = vf.nonnullCols.getOrElse(plan.checks.nonnullCols),
+          timestampCol = vf.tsCol, maxLagMinutes = vf.maxLagMinutes,
+          clock = clock)
+      case "parquet" =>
+        Quality.verifyParquet(spark, load.filePath.get,
           minRows = vf.minRows.getOrElse(plan.checks.minRows),
           nonnullCols = vf.nonnullCols.getOrElse(plan.checks.nonnullCols),
           timestampCol = vf.tsCol, maxLagMinutes = vf.maxLagMinutes,

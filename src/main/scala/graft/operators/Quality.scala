@@ -108,6 +108,39 @@ object Quality {
           status = false, error = Some(e.toString))
     }
 
+  /** Post-load audit for the parquet directory sink (engine extension):
+    * same single-pass aggregation over the re-read directory; freshness
+    * from the newest part-file mtime when no timestamp column is given. */
+  def verifyParquet(spark: SparkSession, dir: String, minRows: Long = 1,
+      nonnullCols: Seq[String] = Nil, timestampCol: Option[String] = None,
+      maxLagMinutes: Long = 180, clock: Clock = SystemClock): VerifyResult =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p))
+        return VerifyResult(0, nonnullOk = false, freshOk = false, None,
+          status = false, error = Some(s"missing: $dir"))
+      val df = spark.read.parquet(dir)
+      val dq = dqCheck(df, minRows, nonnullCols,
+        freshnessMinutes = Some(maxLagMinutes),
+        timestampCol = timestampCol, clock = clock)
+      val (lag, freshOk) = timestampCol match {
+        case Some(_) => (dq.lagMinutes, dq.freshOk)
+        case None =>
+          val newest = java.nio.file.Files.walk(p)
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            .max().orElse(0L)
+          val l = (clock.nowEpochMillis - newest) / 60000.0
+          (Some(l), l <= maxLagMinutes.toDouble)
+      }
+      VerifyResult(dq.rows, dq.nonnullOk, freshOk, lag,
+        status = dq.rows >= minRows && dq.nonnullOk && freshOk)
+    } catch {
+      case e: Exception =>
+        VerifyResult(0, nonnullOk = false, freshOk = false, None,
+          status = false, error = Some(e.toString))
+    }
+
   /** Post-load DB audit (reference tools.py:120-168): COUNT(*) and MAX(ts)
     * pushed down to the database as subquery tables — only two scalar rows
     * cross the wire. */

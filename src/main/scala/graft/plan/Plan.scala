@@ -72,7 +72,9 @@ final case class Checks(
     timestampCol: Option[String] = None,
     disabled: Boolean = false)
 
-/** Sink spec (reference templates.py:135-140, plan.yaml:31-39). */
+/** Sink spec (reference templates.py:135-140, plan.yaml:31-39).
+  * `to: parquet` + `partition_by` are engine extensions beyond the
+  * reference's csv/postgres pair (the scale landing format). */
 final case class Load(
     to: String = "postgres",
     connStr: Option[String] = None,
@@ -80,7 +82,8 @@ final case class Load(
     mode: String = "append",
     keyCols: Seq[String] = Nil,
     filePath: Option[String] = None,
-    includeHeader: Boolean = true)
+    includeHeader: Boolean = true,
+    partitionBy: Seq[String] = Nil)
 
 /** Post-load verification (reference templates.py:142-166). Unset
   * minRows/nonnullCols fall back to `checks` values (templates.py:149-150). */

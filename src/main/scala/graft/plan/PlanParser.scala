@@ -155,7 +155,8 @@ object PlanParser {
         mode = str(l, "mode").getOrElse("append"),
         keyCols = strSeq(l, "key_cols").getOrElse(Nil),
         filePath = str(l, "file_path"),
-        includeHeader = bool(l, "include_header").getOrElse(true))
+        includeHeader = bool(l, "include_header").getOrElse(true),
+        partitionBy = strSeq(l, "partition_by").getOrElse(Nil))
     }
 
     val ckMap = asMap(doc.getOrElse("checks", null))

@@ -44,6 +44,21 @@ object CsvSink {
   }
 }
 
+/** Parquet directory sink — an engine extension beyond the reference's
+  * csv/postgres pair (plan `load.to: parquet`): columnar, splittable,
+  * schema-carrying, partition-parallel — what a 100 TB pipeline actually
+  * lands. Optional `partition_by` columns give partition pruning to
+  * downstream readers. */
+object ParquetSink {
+  def write(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): String = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
+    s"wrote $dir"
+  }
+}
+
 /** JDBC sink with the reference's three modes (tools.py:74-97):
   * append / replace via the native writer, upsert via the reference's own
   * staging strategy — write to `{table}_stg`, then a single transactional

@@ -162,6 +162,32 @@ class EngineSpec extends SparkSpec {
     assert(lines.size == 3 && lines.get(1) == "1,9.5")
   }
 
+  test("parquet directory sink with partitioning + verify (scale path)") {
+    val dir = tmpDir("pq")
+    val p = dir.resolve("in.csv")
+    Files.writeString(p,
+      "region,sku,price\neast,1,9.5\nwest,2,3.25\neast,3,70.0\n")
+    val out = dir.resolve("out_parquet").toString
+    val res = new Engine(spark, new RecordingAlerter).run(
+      s"""source:
+         |  kind: csv
+         |  csv: {path: $p}
+         |transform:
+         |  sql: SELECT region, CAST(sku AS BIGINT) AS sku,
+         |       CAST(price AS DOUBLE) AS price FROM input_df
+         |checks: {min_rows: 3, nonnull_cols: [region, sku]}
+         |load: {to: parquet, file_path: $out, partition_by: [region]}
+         |verify: {min_rows: 3, nonnull_cols: [sku, price]}
+         |""".stripMargin)
+    assert(res.status == "ok", res.toJson)
+    assert(res.verify.get.rows == 3)
+    // hive-style partition dirs exist and the data reads back partitioned
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/region=east")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.filter(back("region") === "east").count() == 2)
+  }
+
   test("parse errors surface as failed result, not exceptions") {
     val res = new Engine(spark, new RecordingAlerter).run("not: [valid")
     assert(res.status == "failed" && res.error.isDefined)
