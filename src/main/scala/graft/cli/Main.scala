@@ -43,7 +43,20 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // optional run ledger (reference memory.py role): enabled by env
+      val ledger = sys.env.get("GRAFT_LEDGER_DIR")
+        .map(dir => new graft.engine.Ledger(spark, dir))
+      val runId = ledger.map(_.startRun(planText, planText))
       val result = new Engine(spark).run(planText)
+      ledger.zip(runId).foreach { case (l, id) =>
+        l.finishRun(id, result.status,
+          rowsWritten = result.verify.map(_.rows),
+          dqJson = result.dq.map(d =>
+            graft.engine.RunResult("", dq = Some(d)).toJson),
+          verifyJson = result.verify.map(v =>
+            graft.engine.RunResult("", verify = Some(v)).toJson),
+          error = result.error)
+      }
       println(result.toJson)
       if (result.status != "ok") sys.exit(1)
     } finally spark.stop()

@@ -26,30 +26,40 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("fingerprint"), col("dup_count"))
 
-  /** Distinct token-n-gram shingles, exploded to (id, shingle) pairs. */
+  /** Distinct token-n-gram shingles exploded to (id, n_sh, sh) rows — the
+    * per-document set size rides along with every shingle row, so pair
+    * scoring never needs a join back to a sizes table. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+        array_distinct(Text.shingles(col(textCol), n)).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * The shingle equi-join is the candidate generator — complexity is
     * Σ_shingle count² rather than n², which holds up when shingles are
-    * discriminative (use larger n for noisier corpora). */
+    * discriminative (use larger n for noisier corpora). One join + one
+    * aggregation total: set sizes are carried through the explode, and
+    * (id_a, id_b) determines them, so they group along for free. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    jaccardScore(
+      sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id")),
+      threshold)
+  }
+
+  /** Group pair-candidate shingle matches into exact Jaccard scores. */
+  private def jaccardScore(joined: DataFrame, threshold: Double): DataFrame = {
+    val inter = joined
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast(DoubleType) /
-      (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast(DoubleType)
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .filter(jac >= threshold)
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    inter.filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
@@ -92,18 +102,11 @@ object Dedup {
     // verify candidates with exact jaccard (candidate set is small by
     // construction, so this join is cheap)
     val sh = shingleTable(df, idCol, textCol, shingleN)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(candidates, col("a.id") === col("id_a"))
-      .join(sh.as("b"),
-        col("b.id") === col("id_b") && col("a.sh") === col("b.sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast(DoubleType) /
-      (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast(DoubleType)
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+    jaccardScore(
+      sh.as("a").join(candidates, col("a.id") === col("id_a"))
+        .join(sh.as("b"),
+          col("b.id") === col("id_b") && col("a.sh") === col("b.sh")),
+      threshold)
   }
 
   /** 64-bit SimHash per document: each token hash votes ±1 on every bit
