@@ -212,6 +212,29 @@ object MoreQueries {
         dsum(col("l_quantity")).as("s"),
         max(col("l_shipdate")).cast(DateType).as("mx"))
 
+  // ── q33: 6-table star join (TPC-H Q5 shape) — Catalyst join reorder +
+  //        broadcast chain on the bounded dims ──────────────────────────
+  def q33_star_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+      col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -300,6 +323,7 @@ object MoreQueries {
     "q30_setops_all"    -> (q30_setops_all _),
     "q31_list_agg"      -> (q31_list_agg _),
     "q32_empty_aggs"    -> (q32_empty_aggs _),
+    "q33_star_join"     -> (q33_star_join _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -432,6 +456,18 @@ object MoreQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s,
         | CAST(MAX(l_shipdate) AS DATE) AS mx
         |FROM lineitem WHERE l_quantity < 0""".stripMargin,
+    "q33_star_join" ->
+      """SELECT n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
