@@ -235,6 +235,33 @@ object MoreQueries {
       .orderBy(col("n_name"))
   }
 
+  // ── q34: greatest-n-per-group (latest order per customer) ───────────────
+  def q34_latest_per_group(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("d"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_custkey"))
+  }
+
+  // ── q35: RANGE-frame rolling window (7-day revenue per priority) ───────
+  def q35_rolling_window(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).as("day_no"),
+        col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("day_total"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("day_no")).rangeBetween(-6, Window.currentRow)
+    daily.select(col("day_no"), col("o_orderpriority"),
+        sum(dec(col("day_total"))).over(w).cast(DoubleType).as("rolling_7d"))
+      .orderBy(col("o_orderpriority"), col("day_no"))
+  }
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -324,6 +351,8 @@ object MoreQueries {
     "q31_list_agg"      -> (q31_list_agg _),
     "q32_empty_aggs"    -> (q32_empty_aggs _),
     "q33_star_join"     -> (q33_star_join _),
+    "q34_latest_per_group" -> (q34_latest_per_group _),
+    "q35_rolling_window"   -> (q35_rolling_window _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -468,6 +497,24 @@ object MoreQueries {
         |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_latest_per_group" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, d FROM ranked WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q35_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+        |    o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT day_no, o_orderpriority,
+        |  CAST(SUM(CAST(day_total AS DECIMAL(18,4))) OVER (PARTITION BY o_orderpriority ORDER BY day_no
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM daily ORDER BY o_orderpriority, day_no""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
