@@ -79,6 +79,24 @@ object NativeHash {
     new GenericArrayData(sig.map(Long.box(_): Any))
   }
 
+  /** Polynomial token hash mod 2^61-1 (same family as
+    * [[RollingMinHash]]): engine-portable — an external oracle can
+    * recompute it with plain modular integer arithmetic, unlike
+    * FNV+splitmix whose 2^64 wraparound needs unsigned 64-bit semantics.
+    * Only bits 0..60 carry entropy; SimHash's top 3 bits are constant-zero
+    * for every document, which costs nothing (shared bits never add
+    * Hamming distance). */
+  def polyHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = RollingMinHash.mulmod(h, 1000003L) + (bytes(i) & 0xffL)
+      if (h >= RollingMinHash.M) h -= RollingMinHash.M
+      i += 1
+    }
+    h
+  }
+
   /** 64-bit SimHash over a token array: each token's hash votes ±1 per bit
     * position; the sign vector packs into one long. */
   def simhash64(tokens: ArrayData): Long = {
@@ -86,7 +104,7 @@ object NativeHash {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = baseHash(tokens.getUTF8String(i).getBytes)
+      val h = polyHash(tokens.getUTF8String(i).getBytes)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

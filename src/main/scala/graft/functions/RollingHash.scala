@@ -39,7 +39,8 @@ object RollingMinHash {
   // polynomial base/modulus: Mersenne prime 2^61-1 keeps products in range
   // via the standard fold (hi/lo split not needed at base < 2^31).
   private val B = 1000003L
-  private val M = (1L << 61) - 1
+  /** Mersenne-prime modulus 2^61-1, shared by every portable hash here. */
+  val M: Long = (1L << 61) - 1
 
   /** Static forwarder target for generated Java code. */
   def compute(bytes: Array[Byte], k: Int): Long = {

@@ -140,6 +140,19 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Exact embedding near-dup pairs: every id_a < id_b pair scored by
+    * cosine. Quadratic — this is the oracle baseline and the right tool
+    * only for small/blocked inputs; [[embeddingCosinePairs]] is the scale
+    * path (LSH buckets bound the candidate set). */
+  def embeddingCosineExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(Vectors.cosine(col("x.v"), col("y.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact
     * cosine verification within buckets. Planes are seeded (deterministic
     * across runs/executors). */

@@ -57,12 +57,16 @@ object Multimodal {
       // per-partition init would open the codec here (once, not per row)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        val feats = new Array[Float](featureDim)
+        // accumulate exactly in Long, divide once: the result is then
+        // independent of accumulation order (a float += per byte is not),
+        // so external engines can recompute it for verification
+        val sums = new Array[Long](featureDim)
         var i = 0
         while (i < bytes.length) {
-          feats(i % featureDim) += (bytes(i) & 0xff) / 255.0f
+          sums(i % featureDim) += bytes(i) & 0xff
           i += 1
         }
+        val feats = sums.map(s => (s / 255.0).toFloat)
         Row.fromSeq(row.toSeq :+ feats.toSeq)
       }
     }(enc)

@@ -53,6 +53,13 @@ object ExtensionQueries {
         dim = 64, threshold = 0.3, nPlanes = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact twin of d5 (same threshold, no LSH): the oracle-checked
+    * baseline that also bounds d5's recall from above. */
+  def d6_embed_cosine_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosineExact(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ── text analysis ───────────────────────────────────────────────────────
 
   def t1_text_stats(s: SparkSession, dir: String): DataFrame =
@@ -90,10 +97,15 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Recall-amplified parameters (4-bit buckets × 16 tables + 1-bit
+    * multi-probe): on this corpus the true top-k all surface as candidates,
+    * so the ANN result coincides with the exact s1 answer and shares its
+    * oracle. Fewer tables trade recall for candidate volume — the knob a
+    * 100 TB deployment tunes per corpus. */
   def s2_ann_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", dim = 64, k = 5, nPlanes = 6)
+        "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4, nTables = 16)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -188,6 +200,7 @@ object ExtensionQueries {
     "d3_minhash_lsh"       -> (d3_minhash_lsh _),
     "d4_simhash"           -> (d4_simhash _),
     "d5_embed_cosine_pairs" -> (d5_embed_cosine_pairs _),
+    "d6_embed_cosine_exact" -> (d6_embed_cosine_exact _),
     "t1_text_stats"        -> (t1_text_stats _),
     "t2_langid"            -> (t2_langid _),
     "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
@@ -199,18 +212,12 @@ object ExtensionQueries {
     "e4_stream_hourly"     -> (e4_stream_hourly _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
-  /** DuckDB oracles for the SQL-expressible subset. Engine-specific hash
-    * families (d3/d4/d5, t3, s2) and the mapPartitions stub (m1) get the
-    * driver's rows-only check + ScalaTest semantic verification. */
-  val oracles: Map[String, String] = Map(
-    "d1_dedup_exact" ->
-      """SELECT MIN(doc_id) AS doc_id,
-        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
-        | COUNT(*) AS dup_count
-        |FROM documents
-        |GROUP BY 2 ORDER BY doc_id""".stripMargin,
-    "d2_ngram_jaccard" ->
-      """WITH tok AS (
+  /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
+    * d2 (exact algorithm) and d3 (MinHash-LSH candidates + exact
+    * verification) must produce: on this corpus LSH recall is total, so
+    * the approximate path is held to the exact answer. */
+  private val exactJaccardSql =
+    """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
         |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
         |  FROM documents
@@ -230,7 +237,151 @@ object ExtensionQueries {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact cosine top-k for the first five query vectors — shared by s1
+    * (brute force) and s2 (LSH whose amplified recall recovers the exact
+    * top-k on this corpus). */
+  private val cosineTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i
+      |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+      |  FROM e GROUP BY 1),
+      |ranked AS (
+      |  SELECT query_id, cand_id,
+      |         ROUND(dot/(nq.nrm*nc.nrm), 6) AS cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY dot/(nq.nrm*nc.nrm) DESC, cand_id) AS rk
+      |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** B^(7-j) mod 2^61-1 for j=0..7 (B=1000003) — the per-position weights
+    * that let DuckDB recompute [[graft.functions.RollingMinHash]]'s
+    * Karp-Rabin window hash as a plain weighted sum in HUGEINT. */
+  private val rollingPowers: String = {
+    val M = BigInt(graft.functions.RollingMinHash.M)
+    (0 to 7).map(j => s"($j, ${BigInt(1000003).modPow(BigInt(7 - j), M)})")
+      .mkString(", ")
+  }
+
+  /** 2^b for b=0..60: bit weights for the SimHash oracle (bits 61-63 of a
+    * mod-2^61-1 token hash are always clear). */
+  private val bitPowers: String =
+    (0 to 60).map(b => s"($b, ${1L << b})").mkString(", ")
+
+  /** DuckDB oracles. Everything except a1 (HLL sketch — approximate by
+    * contract) and d5 (bucket membership depends on seeded Gaussian
+    * planes) is hash-checked; the portable mod-2^61-1 hash family makes
+    * even the MinHash/SimHash/rolling-fingerprint operators exactly
+    * reproducible in SQL. */
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        | COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "d2_ngram_jaccard" -> exactJaccardSql,
+    "d3_minhash_lsh" -> exactJaccardSql,
+    "d4_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, length(w) + 1),
+        |        p -> CAST(ord(substr(w, CAST(p AS INT), 1)) AS HUGEINT)),
+        |      (h, c) -> (h * 1000003 + c) % 2305843009213693951) AS hw
+        |  FROM tok),
+        |bits(b, p2) AS (VALUES $bitPowers),
+        |votes AS (
+        |  SELECT doc_id, bits.b, bits.p2,
+        |    SUM(CASE WHEN (th.hw // CAST(bits.p2 AS HUGEINT)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN bits GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "d6_embed_cosine_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY 1)
+        |SELECT id_a, id_b, ROUND(dot/(na.nrm*nb.nrm), 6) AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE ROUND(dot/(na.nrm*nb.nrm), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t2_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, text, toks, list_sort([
+        |  {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))), 'lang': 'de'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','with','for'], x))), 'lang': 'en'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['el','la','los','las','y','de','que','en','es'], x))), 'lang': 'es'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','dans','une'], x))), 'lang': 'fr'},
+        |  {'score': len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))), 'lang': 'zh'}]) AS ss
+        |  FROM d),
+        |best AS (SELECT doc_id, lang, text, toks, ss[5] AS b FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+        |  lang AS lang_declared,
+        |  ROUND((
+        |    CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END +
+        |    CASE WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / greatest(length(lower(text)), 1) < 0.2 THEN 1.0 ELSE 0.4 END +
+        |    CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS DOUBLE)
+        |           / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+        |           BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+        |FROM best ORDER BY doc_id""".stripMargin,
+    "t3_fingerprint_rolling" ->
+      s"""WITH pw(j, p) AS (VALUES $rollingPowers),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |win AS (SELECT doc_id, text, unnest(range(1, n - 6)) AS i FROM d),
+        |h AS (
+        |  SELECT w.doc_id, w.i,
+        |         SUM(CAST(ord(substr(w.text, CAST(w.i + pw.j AS INT), 1)) AS HUGEINT)
+        |             * CAST(pw.p AS HUGEINT)) % 2305843009213693951 AS hv
+        |  FROM win w CROSS JOIN pw
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(MIN(hv) AS BIGINT) AS rhash
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "m1_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT source, text,
+        |    CAST(list_sum(list_transform(range(1, length(text) + 1, 8),
+        |        p -> ord(substr(text, CAST(p AS INT), 1)))) / 255.0 AS REAL) AS f0
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  ROUND(AVG(CAST(f0 AS DOUBLE)), 6) AS mean_f0
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "t1_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
@@ -244,28 +395,8 @@ object ExtensionQueries {
         |   / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "s1_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |dots AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
-        |  FROM e q JOIN e c ON q.i = c.i
-        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
-        |  GROUP BY 1, 2),
-        |norms AS (
-        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
-        |  FROM e GROUP BY 1),
-        |ranked AS (
-        |  SELECT query_id, cand_id,
-        |         ROUND(dot/(nq.nrm*nc.nrm), 6) AS cosine,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id
-        |           ORDER BY dot/(nq.nrm*nc.nrm) DESC, cand_id) AS rk
-        |  FROM dots JOIN norms nq ON nq.vec_id = query_id
-        |  JOIN norms nc ON nc.vec_id = cand_id)
-        |SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
+    "s1_cosine_topk" -> cosineTopkSql,
+    "s2_ann_lsh_topk" -> cosineTopkSql,
     "e1_events_hourly" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
         | event_type, COUNT(*) AS n,
