@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join as an equi-join: `point ∈ [start, end)`.
+  *
+  * A naive non-equi join plans as a nested loop — O(|L|·|R|) and
+  * broadcast-bound, unusable at scale. Here both sides are bucketized to a
+  * fixed time width: the left point lands in exactly one bucket, the right
+  * interval explodes to every bucket it overlaps, and a plain shuffle
+  * equi-join on the bucket key meets exactly the candidate pairs, with the
+  * precise containment predicate applied after. Cost is one shuffle plus
+  * |R| × (interval/width + 1) exploded rows — the standard interval-join
+  * strategy (Spark's own stream-stream time-interval joins bucketize the
+  * same way). Pick `bucketWidthSec` near the typical interval length so
+  * intervals explode to ~2 buckets.
+  */
+object RangeJoin {
+
+  def pointInInterval(left: DataFrame, right: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidthSec: Long): DataFrame = {
+    val w = lit(bucketWidthSec * 1000000L)
+    // unix_micros wants TIMESTAMP; NTZ columns convert losslessly in the
+    // engine's UTC session
+    def us(c: String) =
+      unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+    val lb = left.withColumn("__bucket", floor(us(pointCol) / w))
+    // end-exclusive: the last contained microsecond is end − 1
+    val rb = right.withColumn("__bucket", explode(sequence(
+      floor(us(startCol) / w),
+      floor((us(endCol) - 1) / w))))
+    lb.join(rb, "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -178,6 +178,33 @@ object ExtensionQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** e2's sessionization executed through `flatMapGroupsWithState`
+    * (event-time timeout) over a parquet stream. Append mode emits only
+    * *closed* sessions: every non-final session closes when its
+    * successor's first event arrives, and a final session closes when the
+    * terminal watermark (max event time − 30 min gap) passes its
+    * `end + gap` timeout. The oracle derives exactly that subset from the
+    * batch session computation — stateful batch/stream parity is proven
+    * through the hash gate, not asserted. */
+  def e5_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_sess_${streamRunSeq.incrementAndGet()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.Event]
+    val q = graft.streaming.EventStreams.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("n_events"), col("sess_start"),
+        col("sess_end"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -210,6 +237,7 @@ object ExtensionQueries {
     "e2_sessionize"        -> (e2_sessionize _),
     "e3_json_props"        -> (e3_json_props _),
     "e4_stream_hourly"     -> (e4_stream_hourly _),
+    "e5_stream_sessionize" -> (e5_stream_sessionize _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
@@ -427,5 +455,34 @@ object ExtensionQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e5: the batch sessions (e2's CTEs), restricted to the ones Append
+    // mode emits — every non-final session, plus final sessions whose
+    // ms-floored timeout (end + gap) lies strictly below the terminal
+    // watermark (ms-floored max event time − gap), mirroring Spark's
+    // event-time-timeout firing rule.
+    "e5_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sess_no, COUNT(*) AS n_events,
+        |         MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |  FROM sessions GROUP BY 1, 2),
+        |mx AS (SELECT user_id, MAX(sess_no) AS m FROM agg GROUP BY 1),
+        |wm AS (SELECT (epoch_us(MAX(ts)) // 1000) - 1800000 AS wm_ms FROM e)
+        |SELECT a.user_id, a.n_events, a.sess_start, a.sess_end
+        |FROM agg a JOIN mx ON mx.user_id = a.user_id CROSS JOIN wm
+        |WHERE a.sess_no < mx.m
+        |   OR (epoch_us(a.sess_end) // 1000) + 1800000 < wm.wm_ms
+        |ORDER BY a.user_id, a.sess_start""".stripMargin)
 }

@@ -262,6 +262,34 @@ object MoreQueries {
       .orderBy(col("o_orderpriority"), col("day_no"))
   }
 
+  // ── q36: true interval range join via bucketized equi-join ─────────────
+  //         (RangeJoin turns point-in-[start,end) into a shuffle join on
+  //         7-day buckets instead of a nested loop; see SCALE.md) ─────────
+  def q36_range_join(s: SparkSession, dir: String): DataFrame = {
+    val intervals = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_quantity"))
+    graft.operators.RangeJoin.pointInInterval(
+        li, intervals, "l_shipdate", "w_start", "w_end",
+        bucketWidthSec = 7L * 86400L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ── q37: UNPIVOT (wide→long reshape, the inverse of q27's pivot) ───────
+  def q37_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_retailprice").cast(DoubleType).as("p_retailprice"),
+        col("p_size").cast(DoubleType).as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -353,6 +381,8 @@ object MoreQueries {
     "q33_star_join"     -> (q33_star_join _),
     "q34_latest_per_group" -> (q34_latest_per_group _),
     "q35_rolling_window"   -> (q35_rolling_window _),
+    "q36_range_join"       -> (q36_range_join _),
+    "q37_unpivot"          -> (q37_unpivot _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -515,6 +545,22 @@ object MoreQueries {
         |  CAST(SUM(CAST(day_total AS DECIMAL(18,4))) OVER (PARTITION BY o_orderpriority ORDER BY day_no
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
         |FROM daily ORDER BY o_orderpriority, day_no""".stripMargin,
+    "q36_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_orderdate AS w_start,
+        |         o_orderdate + INTERVAL 7 DAY AS w_end
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT iv.o_orderkey, COUNT(*) AS n_ship,
+        | CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM iv JOIN lineitem l
+        |  ON l.l_shipdate >= iv.w_start AND l.l_shipdate < iv.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric,
+        |       CAST(p_retailprice AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

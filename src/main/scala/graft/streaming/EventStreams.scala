@@ -14,7 +14,7 @@ final case class SessionUpdate(
     closed: Boolean)
 
 private final case class SessionBuf(
-    n: Long, startMs: Long, endMs: Long)
+    n: Long, startUs: Long, endUs: Long)
 
 /** Structured Streaming operators over the `events` shape (TESTDATA.md).
   *
@@ -25,7 +25,7 @@ private final case class SessionBuf(
   * incremental streams with watermarked state so they run continuously
   * over an unbounded feed.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Tumbling-window counts/sums with a watermark bounding state: late
     * events beyond 1 hour are dropped, everything else re-aggregates
@@ -50,10 +50,22 @@ object EventStreams {
     * small buffer; the watermark expires idle sessions so state size is
     * bounded by *active* users, not total users — the property that matters
     * at cluster scale. */
+  /** java.sql.Timestamp ↔ epoch-µs, keeping full microsecond precision
+    * (getTime alone floors to ms, which would desync the streaming result
+    * from the µs-precise batch twin). */
+  private[streaming] def tsToUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[streaming] def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionize(events: Dataset[Event],
       gapMinutes: Long = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionBuf]): Iterator[SessionUpdate] = {
@@ -61,21 +73,19 @@ object EventStreams {
         val s = state.get
         state.remove()
         return Iterator(SessionUpdate(userId, s.n,
-          new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
-          closed = true))
+          usToTs(s.startUs), usToTs(s.endUs), closed = true))
       }
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
       var out = Vector.empty[SessionUpdate]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = tsToUs(e.ts)
         cur match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            cur = Some(s.copy(n = s.n + 1, endMs = math.max(s.endMs, t)))
+          case Some(s) if t - s.endUs <= gapUs =>
+            cur = Some(s.copy(n = s.n + 1, endUs = math.max(s.endUs, t)))
           case Some(s) => // gap exceeded: close previous, open new
             out :+= SessionUpdate(userId, s.n,
-              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
-              closed = true)
+              usToTs(s.startUs), usToTs(s.endUs), closed = true)
             cur = Some(SessionBuf(1, t, t))
           case None =>
             cur = Some(SessionBuf(1, t, t))
@@ -83,7 +93,7 @@ object EventStreams {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.endMs + gapMs)
+        state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
       }
       out.iterator
     }
