@@ -166,6 +166,29 @@ object NativeVec {
     new GenericArrayData(out)
   }
 
+  /** Index of the centroid with the largest dot product (spherical
+    * k-means assignment; ties keep the lowest index — deterministic). */
+  def nearestCentroid(vec: ArrayData, centroids: Array[Array[Double]],
+      isFloat: Boolean): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    val dim = vec.numElements()
+    var c = 0
+    while (c < centroids.length) {
+      val p = centroids(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(dim, p.length)
+      while (i < n) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += x * p(i); i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine similarity in one pass (dot + both norms in the same loop). */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -273,12 +296,38 @@ case class HyperplaneSigs(child: Expression,
     copy(child = c)
 }
 
+/** Spherical k-means cell assignment: argmax-dot over a small centroid
+  * matrix carried as a codegen reference object (one tight loop per row,
+  * like [[HyperplaneSigs]]). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVec.nearestCentroid(input.asInstanceOf[ArrayData], centroids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVec.nearestCentroid($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object NativeExprs {
   def hyperplaneSigs(vec: Column, planes: Array[Array[Double]],
       bitsPerTable: Int): Column =
     ColumnBridge.column(
       HyperplaneSigs(ColumnBridge.expression(vec), planes, bitsPerTable))
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(vec), centroids))
   def tokenShingles(c: Column, n: Int): Column =
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
   def minhashSig(shingles: Column, k: Int): Column =

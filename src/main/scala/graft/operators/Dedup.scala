@@ -28,13 +28,18 @@ object Dedup {
 
   /** Distinct token-n-gram shingles exploded to (id, n_sh, sh) rows — the
     * per-document set size rides along with every shingle row, so pair
-    * scoring never needs a join back to a sizes table. */
+    * scoring never needs a join back to a sizes table. The shingle is
+    * carried as its 64-bit xxhash, not the string: the candidate join
+    * shuffles 8-byte keys instead of n-token strings (a large constant
+    * factor at corpus scale), at the cost of a ~n²/2⁶⁴ collision
+    * probability that would merely admit one spurious candidate pair. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         array_distinct(Text.shingles(col(textCol), n)).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"),
-        explode(col("shs")).as("sh"))
+        explode(col("shs")).as("sh0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * The shingle equi-join is the candidate generator — complexity is

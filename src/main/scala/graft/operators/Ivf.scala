@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.NativeExprs
+
+/** IVF (inverted-file) approximate-nearest-neighbor search: a spherical
+  * k-means coarse quantizer assigns every vector to its nearest centroid
+  * cell; queries probe only the `nprobe` nearest cells and rank that
+  * candidate subset exactly. The complement of the LSH path in
+  * [[Similarity]] — IVF adapts to the data distribution where LSH is
+  * data-oblivious.
+  *
+  * Deterministic by construction (so the result is oracle-checkable):
+  *  - init = the k lowest-id vectors;
+  *  - per-dimension centroid means accumulate in DECIMAL (order-independent
+  *    across partitions — a double sum would drift with partitioning and
+  *    could flip assignments between runs);
+  *  - assignment ties keep the lowest centroid index.
+  *
+  * Scale: each Lloyd iteration is one aggregate job over the corpus; the
+  * centroid matrix (k×dim doubles) is the only driver-side state and rides
+  * into executors as a codegen reference object. The cell index is a plain
+  * int column — at 100 TB you'd persist it (partitioned/bucketed by cell)
+  * so queries touch only probed cells' files.
+  */
+object Ivf {
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic spherical k-means over an embedding column. Returns
+    * unit-norm centroids, `k × dim`. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val toDouble = (r: org.apache.spark.sql.Row) =>
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+
+    // init: k vectors evenly spaced through the id order (the k lowest ids
+    // would all come from one region when ids correlate with content)
+    val n = corpus.count()
+    val step = math.max(1L, n / k)
+    val w = Window.orderBy(col(idCol))
+    var centroids: Array[Array[Double]] = corpus
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % step === 0)
+      .orderBy(col("__rn")).limit(k).select(col(vecCol))
+      .collect().map(toDouble).map(l2normalize)
+
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        NativeExprs.nearestCentroid(col(vecCol), centroids).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      val means = assigned
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))) /
+          count(lit(1))).cast(DoubleType).as("m"))
+        .collect()
+      val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next.map(l2normalize)
+    }
+    centroids
+  }
+
+  /** Exact-cosine top-k over the union of the `nprobe` nearest cells per
+    * query. `nprobe` is the recall/cost knob: cells not probed are never
+    * read — the point of IVF at scale. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, nCells: Int = 16, iters: Int = 3,
+      nprobe: Int = 8): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cell", NativeExprs.nearestCentroid(col("cv"), centroids))
+
+    // per-query probe list: the nprobe cells with the largest query·centroid
+    def probeCells(qv: Column): Column = {
+      val scored = (0 until centroids.length).map { i =>
+        struct(NativeExprs.dotProduct(qv,
+          typedLit(centroids(i).toSeq)).as("d"),
+          lit(i).as("cell"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv")).getField("cell"))))
+
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cosv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("cand_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosv"), 6).as("cosine"), col("rk"))
+  }
+}

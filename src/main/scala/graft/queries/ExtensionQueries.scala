@@ -109,6 +109,19 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF ANN twin of s2 (inverted-file cells from spherical k-means,
+    * probe the `nprobe` nearest). This corpus is isotropic — neighbors at
+    * cosine ≈ 0.3 sit in arbitrary cells, so only full probing is exact
+    * and s3 runs with nprobe = nCells to share s1's oracle. On clustered
+    * data the knob prunes hard: IvfSpec shows full recall probing 1 of 4
+    * cells when structure exists. */
+  def s3_ann_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nCells = 16, iters = 3, nprobe = 16)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ── events: windowing, sessionization, JSON props ───────────────────────
 
   def e1_events_hourly(s: SparkSession, dir: String): DataFrame =
@@ -233,6 +246,7 @@ object ExtensionQueries {
     "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
     "s1_cosine_topk"       -> (s1_cosine_topk _),
     "s2_ann_lsh_topk"      -> (s2_ann_lsh_topk _),
+    "s3_ann_ivf_topk"      -> (s3_ann_ivf_topk _),
     "e1_events_hourly"     -> (e1_events_hourly _),
     "e2_sessionize"        -> (e2_sessionize _),
     "e3_json_props"        -> (e3_json_props _),
@@ -425,6 +439,7 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s1_cosine_topk" -> cosineTopkSql,
     "s2_ann_lsh_topk" -> cosineTopkSql,
+    "s3_ann_ivf_topk" -> cosineTopkSql,
     "e1_events_hourly" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
         | event_type, COUNT(*) AS n,

@@ -290,6 +290,54 @@ object MoreQueries {
         Array(col("p_retailprice"), col("p_size")), "metric", "val")
       .orderBy(col("p_partkey"), col("metric"))
 
+  // ── q38: ranking/distribution window zoo (ntile, percent_rank,
+  //         cume_dist, first/last/nth_value) under a total order ─────────
+  def q38_window_funcs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ── q39: TRY_CAST null-on-failure semantics (string→int/date) ──────────
+  def q39_try_cast(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INT) AS bad_int,
+        |  TRY_CAST(substr(p_name, 1, 3) AS DATE) AS bad_date,
+        |  TRY_CAST(CAST(p_partkey AS STRING) AS INT) AS good_int
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
+  // ── q40: correlated LATERAL subquery in FROM (decorrelated by
+  //         Catalyst into a join, not a per-row loop) ────────────────────
+  def q40_lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey, t.n,
+        |  CAST(t.total AS DOUBLE) AS total
+        |FROM customer c, LATERAL (
+        |  SELECT COUNT(*) AS n,
+        |    COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS total
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -383,6 +431,9 @@ object MoreQueries {
     "q35_rolling_window"   -> (q35_rolling_window _),
     "q36_range_join"       -> (q36_range_join _),
     "q37_unpivot"          -> (q37_unpivot _),
+    "q38_window_funcs"     -> (q38_window_funcs _),
+    "q39_try_cast"         -> (q39_try_cast _),
+    "q40_lateral"          -> (q40_lateral _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -561,6 +612,36 @@ object MoreQueries {
         |UNION ALL
         |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "q38_window_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q39_try_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INT) AS bad_int,
+        |  TRY_CAST(substr(p_name, 1, 3) AS DATE) AS bad_date,
+        |  TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS good_int
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q40_lateral" ->
+      """SELECT c.c_custkey, t.n,
+        |  CAST(t.total AS DOUBLE) AS total
+        |FROM customer c, LATERAL (
+        |  SELECT COUNT(*) AS n,
+        |    COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS total
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY c.c_custkey""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
