@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal graph operators for dedup pipelines: near-dup *pairs* (Dedup.*)
+  * become near-dup *clusters* by connected components, and each cluster
+  * keeps one representative (the min id) — the step that turns pairwise
+  * similarity into an actual drop-list at corpus scale.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list: every node starts labeled with itself; each round adopts
+    * the minimum label among itself and its neighbors; fixpoint = each
+    * node labeled with its component's minimum id. Deterministic
+    * (min is order-independent), converges in O(component diameter)
+    * rounds — dup clusters are shallow, so a handful. Each round is one
+    * shuffle; at extreme scale swap in the large-star/small-star
+    * contraction (same contract, fewer rounds on long chains).
+    *
+    * Returns (`n`, `cluster`) for every node appearing in `edges`. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val und = edges.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .union(edges.select(col(bCol).cast("long").as("a"),
+        col(aCol).cast("long").as("b")))
+      .distinct()
+      .cache()
+    var labels = und.select(col("a").as("n")).distinct()
+      .withColumn("l", col("n"))
+      .cache()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("n", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("n2")).agg(min(col("l")).as("nl"))
+      val next = labels
+        .join(nbrMin, col("n") === col("n2"), "left")
+        .select(col("n"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("l", "l0"), "n")
+        .filter(col("l") =!= col("l0")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

@@ -60,6 +60,18 @@ object ExtensionQueries {
         threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup *clusters*: d2's similarity pairs closed under connectivity
+    * (min-label propagation), labeling every clustered document with its
+    * component's minimum doc_id — the drop-list step of corpus dedup.
+    * Oracle: the same closure as a DuckDB recursive CTE. */
+  def d7_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("n").as("doc_id"), col("l").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── text analysis ───────────────────────────────────────────────────────
 
   def t1_text_stats(s: SparkSession, dir: String): DataFrame =
@@ -87,6 +99,19 @@ object ExtensionQueries {
       col("doc_id"),
       RollingMinHash.rollingMinHash(col("text"), k = 8).as("rhash"))
       .orderBy(col("doc_id"))
+
+  /** Character-3-gram profile: distinct char-shingle count plus the
+    * lexicographic min/max gram (a cheap per-doc signature the char-level
+    * dedup path builds on). */
+  def t5_char_ngrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = array_distinct(Text.charShingles(col("text"), 3))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(grams).as("n_grams"),
+      array_min(grams).as("min_gram"),
+      array_max(grams).as("max_gram"))
+      .orderBy(col("doc_id"))
+  }
 
   // ── similarity search ───────────────────────────────────────────────────
 
@@ -241,9 +266,11 @@ object ExtensionQueries {
     "d4_simhash"           -> (d4_simhash _),
     "d5_embed_cosine_pairs" -> (d5_embed_cosine_pairs _),
     "d6_embed_cosine_exact" -> (d6_embed_cosine_exact _),
+    "d7_dup_clusters"      -> (d7_dup_clusters _),
     "t1_text_stats"        -> (t1_text_stats _),
     "t2_langid"            -> (t2_langid _),
     "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
+    "t5_char_ngrams"       -> (t5_char_ngrams _),
     "s1_cosine_topk"       -> (s1_cosine_topk _),
     "s2_ann_lsh_topk"      -> (s2_ann_lsh_topk _),
     "s3_ann_ivf_topk"      -> (s3_ann_ivf_topk _),
@@ -335,6 +362,18 @@ object ExtensionQueries {
         |GROUP BY 2 ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" -> exactJaccardSql,
     "d3_minhash_lsh" -> exactJaccardSql,
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardSql),
+        |undirected AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM undirected),
+        |reach(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT u.b, r.l FROM reach r JOIN undirected u ON u.a = r.n)
+        |SELECT n AS doc_id, MIN(l) AS cluster
+        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
@@ -414,6 +453,18 @@ object ExtensionQueries {
         |  GROUP BY 1, 2)
         |SELECT doc_id, CAST(MIN(hv) AS BIGINT) AS rhash
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t5_char_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(s) - 1),
+        |      i -> substr(s, CAST(i AS INT), 3))) AS grams
+        |  FROM (SELECT doc_id,
+        |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |        FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |  list_aggregate(grams, 'min') AS min_gram,
+        |  list_aggregate(grams, 'max') AS max_gram
+        |FROM g ORDER BY doc_id""".stripMargin,
     "m1_multimodal_features" ->
       """WITH f AS (
         |  SELECT source, text,

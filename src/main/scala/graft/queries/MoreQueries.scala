@@ -338,6 +338,18 @@ object MoreQueries {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  // ── q41: deterministic hash sampling — the reproducible subsample a
+  //         training pipeline needs (TABLESAMPLE is engine/seed-bound;
+  //         an md5-prefix predicate picks the same ~10% in any engine) ───
+  def q41_hash_sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(substring(md5(concat_ws("-",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 2) < "1a")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   // ── p1: CSV sink + source round-trip (§2A #1/#9): write a slice through
   //        the single-file sink, read it back with the pandas-compat
   //        reader, aggregate — oracle aggregates the parquet directly, so
@@ -434,6 +446,7 @@ object MoreQueries {
     "q38_window_funcs"     -> (q38_window_funcs _),
     "q39_try_cast"         -> (q39_try_cast _),
     "q40_lateral"          -> (q40_lateral _),
+    "q41_hash_sample"      -> (q41_hash_sample _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -642,6 +655,13 @@ object MoreQueries {
         |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
         |WHERE c.c_custkey % 100 = 0
         |ORDER BY c.c_custkey""".stripMargin,
+    "q41_hash_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |   CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
