@@ -21,13 +21,43 @@ object Graph {
     *
     * Returns (`n`, `cluster`) for every node appearing in `edges`. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, driverThreshold: Long = 1L << 20): DataFrame = {
     val und = edges.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .union(edges.select(col(bCol).cast("long").as("a"),
         col(aCol).cast("long").as("b")))
       .distinct()
       .cache()
+    // Small graphs (the common case once pairs came from a good candidate
+    // generator) resolve in one driver-side union-find instead of
+    // O(diameter) distributed rounds — the same size-based strategy switch
+    // as a broadcast join. The distributed path below stays the scale
+    // story for billion-edge graphs.
+    if (und.count() <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent.getOrElse(c, c); parent(c) = r; c = nx
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by min so the representative is the component minimum
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.iterator.map(_._1).toSeq.distinct
+      und.unpersist()
+      return nodes.map(n => (n, find(n))).toDF("n", "l")
+    }
     var labels = und.select(col("a").as("n")).distinct()
       .withColumn("l", col("n"))
       .cache()

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference components via BFS over an adjacency map. */
+  private def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!seen.contains(start)) {
+        var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier.foreach(seen(_) = start)
+          frontier = frontier.flatMap(adj(_)).filterNot(seen.contains)
+        }
+      }
+    }
+    seen.toMap
+  }
+
+  test("driver union-find matches BFS truth on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val es = Seq.fill(30)((rnd.nextLong(20), rnd.nextLong(20)))
+        .filter { case (a, b) => a != b }
+      val viaDriver = Graph.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == bfsComponents(es))
+    }
+  }
+
+  test("distributed label propagation agrees with the driver path") {
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+    val dist = Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == bfsComponents(es))
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("bucketized range join equals naive join on random data") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val points = Seq.tabulate(40)(i =>
+        (i.toLong, new java.sql.Timestamp(rnd.nextLong(2000000L))))
+        .toDF("pid", "pt")
+      val intervals = Seq.tabulate(10) { i =>
+        val s0 = rnd.nextLong(1800000L)
+        (i.toLong, new java.sql.Timestamp(s0),
+          new java.sql.Timestamp(s0 + 1 + rnd.nextLong(400000L)))
+      }.toDF("iid", "s", "e")
+      val naive = points.join(intervals,
+          col("pt") >= col("s") && col("pt") < col("e"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketized = RangeJoin.pointInInterval(
+          points, intervals, "pt", "s", "e", bucketWidthSec = 100L)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketized == naive)
+    }
+  }
+}
