@@ -243,6 +243,29 @@ object ExtensionQueries {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  /** Stream-static enrichment join: the events stream joins the static
+    * customer dimension (per-batch broadcast lookup — no stream state) and
+    * aggregates revenue by nation. The oracle is the plain batch
+    * join+aggregate, proving the join semantics carry to streams. */
+  def e6_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_enrich_${streamRunSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("c_nationkey"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -279,6 +302,7 @@ object ExtensionQueries {
     "e3_json_props"        -> (e3_json_props _),
     "e4_stream_hourly"     -> (e4_stream_hourly _),
     "e5_stream_sessionize" -> (e5_stream_sessionize _),
+    "e6_stream_static_join" -> (e6_stream_static_join _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
@@ -522,6 +546,11 @@ object ExtensionQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e6_stream_static_join" ->
+      """SELECT c.c_nationkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // e5: the batch sessions (e2's CTEs), restricted to the ones Append
     // mode emits — every non-final session, plus final sessions whose
     // ms-floored timeout (end + gap) lies strictly below the terminal

@@ -369,6 +369,41 @@ object MoreQueries {
         dsum(col("l_extendedprice")).as("sum_price"))
   }
 
+  // ── p5: ORC sink/source round-trip — value-preserving format surface
+  //        beyond parquet/CSV (oracle aggregates the parquet directly) ────
+  def p5_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    slice.write.mode("overwrite").orc(out)
+    s.read.orc(out).agg(
+      count(lit(1)).as("n"),
+      dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ── p6: JSON-lines sink/source round-trip (schema re-inferred on read) ─
+  def p6_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    slice.write.mode("overwrite").json(out)
+    s.read.json(out).agg(
+      count(lit(1)).as("n"),
+      dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ── q42: GROUP BY ALL (identical dialect text in both engines) ─────────
+  def q42_group_by_all(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
   def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -447,6 +482,9 @@ object MoreQueries {
     "q39_try_cast"         -> (q39_try_cast _),
     "q40_lateral"          -> (q40_lateral _),
     "q41_hash_sample"      -> (q41_hash_sample _),
+    "q42_group_by_all"     -> (q42_group_by_all _),
+    "p5_orc_roundtrip"     -> (p5_orc_roundtrip _),
+    "p6_json_roundtrip"    -> (p6_json_roundtrip _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
     "p2_multi_step"     -> (p2_multi_step _),
     "p3_expr_column"    -> (p3_expr_column _),
@@ -662,6 +700,19 @@ object MoreQueries {
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
         |   CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "p5_orc_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+    "p6_json_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
     "p1_csv_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
