@@ -266,6 +266,31 @@ object ExtensionQueries {
     s.table(name).orderBy(col("c_nationkey"))
   }
 
+  /** Streaming exact dedup under a watermark: the stream is the events
+    * file unioned with itself (every row duplicated); `dropDuplicates
+    * WithinWatermark` collapses the copies, so the post-dedup aggregate
+    * must equal the batch aggregate over the *original* table — the
+    * dedup-on-ingest contract, proven through the oracle. */
+  def e7_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_dedup_${streamRunSeq.incrementAndGet()}"
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
+      src.union(src), idCol = "event_id", tsCol = "ts_us")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -303,6 +328,7 @@ object ExtensionQueries {
     "e4_stream_hourly"     -> (e4_stream_hourly _),
     "e5_stream_sessionize" -> (e5_stream_sessionize _),
     "e6_stream_static_join" -> (e6_stream_static_join _),
+    "e7_stream_dedup"      -> (e7_stream_dedup _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
@@ -546,6 +572,10 @@ object ExtensionQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e7_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "e6_stream_static_join" ->
       """SELECT c.c_nationkey, COUNT(*) AS n,
         | CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

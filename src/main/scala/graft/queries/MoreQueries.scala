@@ -404,6 +404,41 @@ object MoreQueries {
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  // ── q43: gap-filled time series — a generated date spine left-joined to
+  //         daily aggregates, missing days coalesced to 0 ────────────────
+  def q43_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH spine AS (
+        |  SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31',
+        |                          INTERVAL 1 DAY)) AS d),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1)
+        |SELECT spine.d, COALESCE(daily.n, 0) AS n,
+        |  COALESCE(daily.total, CAST(0 AS DOUBLE)) AS total
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin)
+  }
+
+  // ── q44: aggregate FILTER clause (per-aggregate predicates) ────────────
+  def q44_filter_clause(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    AS urgent_total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
   def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -483,6 +518,8 @@ object MoreQueries {
     "q40_lateral"          -> (q40_lateral _),
     "q41_hash_sample"      -> (q41_hash_sample _),
     "q42_group_by_all"     -> (q42_group_by_all _),
+    "q43_gap_fill"         -> (q43_gap_fill _),
+    "q44_filter_clause"    -> (q44_filter_clause _),
     "p5_orc_roundtrip"     -> (p5_orc_roundtrip _),
     "p6_json_roundtrip"    -> (p6_json_roundtrip _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
@@ -705,6 +742,30 @@ object MoreQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY ALL
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q43_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+        |                                INTERVAL 1 DAY))::DATE AS d),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1)
+        |SELECT spine.d, COALESCE(daily.n, 0) AS n,
+        |  COALESCE(daily.total, CAST(0 AS DOUBLE)) AS total
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin,
+    "q44_filter_clause" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    AS urgent_total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "p5_orc_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
