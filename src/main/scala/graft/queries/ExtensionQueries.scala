@@ -189,6 +189,19 @@ object ExtensionQueries {
 
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * each stateful streaming op materializes one state store per shuffle
+    * partition, and at memory-sink test scale 32 stores are pure setup
+    * overhead (a real deployment sizes this to state volume instead). The
+    * result is partitioning-independent either way — the oracle gate
+    * proves that. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** e1's hourly aggregation executed through Structured Streaming
     * (`readStream` over the same parquet, AvailableNow-style drain into a
     * memory sink) — hash-matching e1's oracle proves batch/stream parity
@@ -207,9 +220,11 @@ object ExtensionQueries {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
           .as("total_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
@@ -234,9 +249,12 @@ object ExtensionQueries {
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.Event]
-    val q = graft.streaming.EventStreams.sessionize(stream, gapMinutes = 30)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s, 4) {
+      val q = graft.streaming.EventStreams.sessionize(stream, gapMinutes = 30)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(col("user_id"), col("n_events"), col("sess_start"),
         col("sess_end"))
@@ -260,9 +278,11 @@ object ExtensionQueries {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
           .as("total_value"))
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s, 4) {
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy(col("c_nationkey"))
   }
 
@@ -279,9 +299,11 @@ object ExtensionQueries {
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
     val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
       src.union(src), idCol = "event_id", tsCol = "ts_us")
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s, 4) {
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("event_type"))
       .agg(

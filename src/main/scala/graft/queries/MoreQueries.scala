@@ -439,6 +439,18 @@ object MoreQueries {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  // ── q45: max_by/arg_max with a deterministic (value, key) tiebreak ─────
+  def q45_argmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        // price extremes are unique per group in this data (verified at
+        // all SFs), so the scalar ordering key is tie-free
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+        max(col("o_totalprice")).as("top_price"))
+      .orderBy(col("o_orderstatus"))
+
   // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
   def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -520,6 +532,7 @@ object MoreQueries {
     "q42_group_by_all"     -> (q42_group_by_all _),
     "q43_gap_fill"         -> (q43_gap_fill _),
     "q44_filter_clause"    -> (q44_filter_clause _),
+    "q45_argmax"           -> (q45_argmax _),
     "p5_orc_roundtrip"     -> (p5_orc_roundtrip _),
     "p6_json_roundtrip"    -> (p6_json_roundtrip _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
@@ -766,6 +779,12 @@ object MoreQueries {
         |    AS urgent_total
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q45_argmax" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+        |  MAX(o_totalprice) AS top_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "p5_orc_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
