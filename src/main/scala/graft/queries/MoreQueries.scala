@@ -451,6 +451,27 @@ object MoreQueries {
         max(col("o_totalprice")).as("top_price"))
       .orderBy(col("o_orderstatus"))
 
+  // ── q46: JSON path extraction (e3's regex twin done properly) ──────────
+  def q46_json_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast(LongType).as("sum_k"))
+      .orderBy(col("k_mod"))
+
+  // ── q47: string-function surface (levenshtein/translate/pads/parts) ────
+  def q47_string_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_name"), reverse(col("p_name"))).cast(IntegerType)
+        .as("lev_palin"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("vowelcaps"),
+      lpad(col("p_partkey").cast(StringType), 8, "0").as("key_padded"),
+      expr("split_part(p_name, ' ', 1)").as("first_word"),
+      expr("repeat('*', CAST(p_size % 5 AS INT))").as("stars"))
+      .orderBy(col("p_partkey"))
+
   // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
   def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -533,6 +554,8 @@ object MoreQueries {
     "q43_gap_fill"         -> (q43_gap_fill _),
     "q44_filter_clause"    -> (q44_filter_clause _),
     "q45_argmax"           -> (q45_argmax _),
+    "q46_json_funcs"       -> (q46_json_funcs _),
+    "q47_string_funcs"     -> (q47_string_funcs _),
     "p5_orc_roundtrip"     -> (p5_orc_roundtrip _),
     "p6_json_roundtrip"    -> (p6_json_roundtrip _),
     "p1_csv_roundtrip"  -> (p1_csv_roundtrip _),
@@ -785,6 +808,22 @@ object MoreQueries {
         |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
         |  MAX(o_totalprice) AS top_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q46_json_funcs" ->
+      """WITH k AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT k % 10 AS k_mod, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_string_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS lev_palin,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowelcaps,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  repeat('*', CAST(p_size % 5 AS INT)) AS stars
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "p5_orc_roundtrip" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
