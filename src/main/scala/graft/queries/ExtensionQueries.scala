@@ -60,13 +60,17 @@ object ExtensionQueries {
         threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Near-dup *clusters*: d2's similarity pairs closed under connectivity
+  /** Near-dup *clusters*: similarity pairs closed under connectivity
     * (min-label propagation), labeling every clustered document with its
     * component's minimum doc_id — the drop-list step of corpus dedup.
-    * Oracle: the same closure as a DuckDB recursive CTE. */
+    * Pairs come from the LSH candidate path (exact-verified, equal to the
+    * exhaustive d2 answer on this corpus — both share the same oracle),
+    * so the pipeline is the one a 100 TB corpus runs: LSH candidates →
+    * exact Jaccard → components. Oracle: a DuckDB recursive CTE over the
+    * exact pairs. */
   def d7_dup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.5)
+    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
       .select(col("n").as("doc_id"), col("l").as("cluster"))
       .orderBy(col("doc_id"))
