@@ -101,6 +101,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(all))
   }
 
+  test("exact cosine pairs equal brute-force-derived ground truth") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(120)
+    val exact = Dedup.embeddingCosineExact(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 120)
+      .filter(col("cosine") >= 0.3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(exact == truth)
+    // and the LSH path can never exceed its exact twin
+    val lsh = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 64,
+        threshold = 0.3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
   test("rolling min-hash: deterministic, equal for equal, content-sensitive") {
     val r = docs.select(col("doc_id"),
       RollingMinHash.rollingMinHash(col("text"), 8).as("h"))
