@@ -472,6 +472,21 @@ object MoreQueries {
       expr("repeat('*', CAST(p_size % 5 AS INT))").as("stars"))
       .orderBy(col("p_partkey"))
 
+  // ── q48: CUBE — completes the grouping-analytics triple alongside
+  //         q16 (GROUPING SETS) and q7 (ROLLUP) ───────────────────────────
+  def q48_cube(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   // ── p2: multi-step SQL transform fold (§2A #6) ─────────────────────────
   def p2_multi_step(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -555,6 +570,7 @@ object MoreQueries {
     "q44_filter_clause"    -> (q44_filter_clause _),
     "q45_argmax"           -> (q45_argmax _),
     "q46_json_funcs"       -> (q46_json_funcs _),
+    "q48_cube"             -> (q48_cube _),
     "q47_string_funcs"     -> (q47_string_funcs _),
     "p5_orc_roundtrip"     -> (p5_orc_roundtrip _),
     "p6_json_roundtrip"    -> (p6_json_roundtrip _),
@@ -808,6 +824,15 @@ object MoreQueries {
         |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
         |  MAX(o_totalprice) AS top_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q48_cube" ->
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
     "q46_json_funcs" ->
       """WITH k AS (
         |  SELECT event_id,
