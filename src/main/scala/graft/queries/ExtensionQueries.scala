@@ -317,6 +317,41 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-stream time-interval join: purchase events join click events
+    * of the same user from the preceding 30 minutes, both sides
+    * watermarked so join state expires instead of growing with the
+    * streams. Inner matches emit as rows arrive; the oracle is the batch
+    * interval join over the same table. */
+  def e8_stream_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_ivjoin_${streamRunSeq.incrementAndGet()}"
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts_us"),
+        col("user_id"), col("event_type"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+    withStreamShuffle(s, 4) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("c_ts")).as("last_click"))
+      .orderBy(col("p_id"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -355,6 +390,7 @@ object ExtensionQueries {
     "e5_stream_sessionize" -> (e5_stream_sessionize _),
     "e6_stream_static_join" -> (e6_stream_static_join _),
     "e7_stream_dedup"      -> (e7_stream_dedup _),
+    "e8_stream_interval_join" -> (e8_stream_interval_join _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
@@ -598,6 +634,17 @@ object ExtensionQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e8_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.p_id, COUNT(*) AS n_clicks, MAX(c.c_ts) AS last_click
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e7_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
