@@ -83,16 +83,20 @@ object NativeHash {
     * [[RollingMinHash]]): engine-portable — an external oracle can
     * recompute it with plain modular integer arithmetic, unlike
     * FNV+splitmix whose 2^64 wraparound needs unsigned 64-bit semantics.
-    * Only bits 0..60 carry entropy; SimHash's top 3 bits are constant-zero
-    * for every document, which costs nothing (shared bits never add
-    * Hamming distance). */
-  def polyHash(bytes: Array[Byte]): Long = {
+    * Iterates Unicode *codepoints* (not UTF-8 bytes) so it matches a
+    * SQL-side `ord(substr(s, i, 1))` recomputation for any text, not just
+    * ASCII. Only bits 0..60 carry entropy; SimHash's top 3 bits are
+    * constant-zero for every document, which costs nothing (shared bits
+    * never add Hamming distance). */
+  def polyHash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = RollingMinHash.mulmod(h, 1000003L) + (bytes(i) & 0xffL)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      // mulmod < M and cp < 2^21 < M, so one conditional subtract folds
+      h = RollingMinHash.mulmod(h, 1000003L) + cp
       if (h >= RollingMinHash.M) h -= RollingMinHash.M
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }
@@ -104,7 +108,7 @@ object NativeHash {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = polyHash(tokens.getUTF8String(i).getBytes)
+      val h = polyHash(tokens.getUTF8String(i).toString)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Document fingerprint via Karp-Rabin rolling hash: the minimum of all
-  * k-gram window hashes over the UTF-8 bytes (a 1-fingerprint winnowing
-  * scheme). Near-identical documents that share any k-byte run with the
-  * minimal hash collide, making this a cheap pre-cluster key for dedup.
+  * k-gram window hashes over the Unicode *codepoints* (a 1-fingerprint
+  * winnowing scheme). Hashing codepoints rather than UTF-8 bytes keeps the
+  * value recomputable by a SQL oracle via `ord(substr(s, i, 1))` for any
+  * text, not just ASCII. Near-identical documents that share any
+  * k-codepoint run with the minimal hash collide, making this a cheap
+  * pre-cluster key for dedup.
   *
   * Implemented as a native Catalyst `Expression` with `doGenCode` so it
   * participates in whole-stage codegen (no UDF serialization, no row
@@ -25,11 +28,11 @@ case class RollingMinHash(child: Expression, k: Int)
   override def prettyName: String = "rolling_min_hash"
 
   override protected def nullSafeEval(input: Any): Any =
-    RollingMinHash.compute(input.asInstanceOf[UTF8String].getBytes, k)
+    RollingMinHash.compute(input.asInstanceOf[UTF8String].toString, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingMinHash.compute($c.getBytes(), $k)")
+      s"graft.functions.RollingMinHash.compute($c.toString(), $k)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
     copy(child = newChild)
@@ -43,14 +46,15 @@ object RollingMinHash {
   val M: Long = (1L << 61) - 1
 
   /** Static forwarder target for generated Java code. */
-  def compute(bytes: Array[Byte], k: Int): Long = {
-    val n = bytes.length
+  def compute(s: String, k: Int): Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n == 0) return 0L
     val kk = math.min(k, n)
     // hash of first window
     var h = 0L
     var i = 0
-    while (i < kk) { h = mulmod(h, B) + (bytes(i) & 0xffL); if (h >= M) h -= M; i += 1 }
+    while (i < kk) { h = mulmod(h, B) + cps(i); if (h >= M) h -= M; i += 1 }
     // B^(kk-1) mod M for the roll-off term
     var pow = 1L
     i = 1
@@ -58,10 +62,10 @@ object RollingMinHash {
     var min = h
     i = kk
     while (i < n) {
-      val off = mulmod((bytes(i - kk) & 0xffL), pow)
+      val off = mulmod(cps(i - kk).toLong, pow)
       h = h - off
       if (h < 0) h += M
-      h = mulmod(h, B) + (bytes(i) & 0xffL)
+      h = mulmod(h, B) + cps(i)
       if (h >= M) h -= M
       if (h < min) min = h
       i += 1

@@ -78,6 +78,16 @@ object Graph {
       round += 1
     }
     und.unpersist()
-    labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxRounds; raise maxRounds or switch to star contraction")
+    // Hand back an uncached result: materialize the fixpoint into a local
+    // checkpoint-free copy via the cached plan, then release the cache so
+    // no entry leaks past this call (the caller owns any further persistence).
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 }

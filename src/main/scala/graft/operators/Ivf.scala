@@ -44,15 +44,19 @@ object Ivf {
       }.toArray
 
     // init: k vectors evenly spaced through the id order (the k lowest ids
-    // would all come from one region when ids correlate with content)
+    // would all come from one region when ids correlate with content).
+    // zipWithIndex over the range-sorted rows stays distributed — a global
+    // row_number() window would funnel the whole corpus through one
+    // partition, which cannot survive a large corpus.
     val n = corpus.count()
     val step = math.max(1L, n / k)
-    val w = Window.orderBy(col(idCol))
     var centroids: Array[Array[Double]] = corpus
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % step === 0)
-      .orderBy(col("__rn")).limit(k).select(col(vecCol))
-      .collect().map(toDouble).map(l2normalize)
+      .select(col(vecCol), col(idCol)).orderBy(col(idCol))
+      .rdd.zipWithIndex()
+      .filter(_._2 % step == 0)
+      .map(_._1)
+      .take(k)
+      .map(toDouble).map(l2normalize)
 
     for (_ <- 0 until iters) {
       val assigned = corpus.select(

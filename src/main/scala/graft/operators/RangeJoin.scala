@@ -27,10 +27,17 @@ object RangeJoin {
     def us(c: String) =
       unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
     val lb = left.withColumn("__bucket", floor(us(pointCol) / w))
+    // Drop malformed intervals (end <= start) before the explode: `sequence`
+    // with stop < start generates a *descending* sequence, so one dirty row
+    // (say an epoch-zero end) would fan out to millions of spurious bucket
+    // rows and blow up the shuffle. The rows can't match the containment
+    // predicate anyway — filtering them is semantics-preserving.
     // end-exclusive: the last contained microsecond is end − 1
-    val rb = right.withColumn("__bucket", explode(sequence(
-      floor(us(startCol) / w),
-      floor((us(endCol) - 1) / w))))
+    val rb = right
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(us(startCol) / w),
+        floor((us(endCol) - 1) / w))))
     lb.join(rb, "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

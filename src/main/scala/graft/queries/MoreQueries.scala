@@ -62,6 +62,9 @@ object MoreQueries {
 
   // ── q19: ranking windows — ntile / percent_rank / rank / first_value ────
   def q19_window_rank(s: SparkSession, dir: String): DataFrame = {
+    // global (unpartitioned) window is the query's semantics — corpus-wide
+    // quartiles need a total order. Deliberately scoped to the supplier dim
+    // (the smallest table); a fact-table global rank would not scale.
     val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
     t(s, dir, "supplier").select(
       col("s_suppkey"), col("s_name"),

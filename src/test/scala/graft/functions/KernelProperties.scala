@@ -68,8 +68,8 @@ object KernelProperties extends Properties("kernels") {
     forAll(Gen.alphaStr.suchThat(_.length >= 8), Gen.alphaStr, Gen.alphaStr) {
       (core, pre, post) =>
         val k = 8
-        val sub = RollingMinHash.compute(core.getBytes, k)
-        val sup = RollingMinHash.compute((pre + core + post).getBytes, k)
+        val sub = RollingMinHash.compute(core, k)
+        val sup = RollingMinHash.compute(pre + core + post, k)
         sup <= sub // superstring's windows are a superset
     }
 

@@ -125,12 +125,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(4L) == r(5L))            // identical strings
     assert(r(1L) != r(6L))            // different content
-    assert(RollingMinHash.compute("hello world hello".getBytes, 8) ==
-      RollingMinHash.compute("hello world hello".getBytes, 8))
+    assert(RollingMinHash.compute("hello world hello", 8) ==
+      RollingMinHash.compute("hello world hello", 8))
     // min-hash over shared windows: a superstring shares the min window
-    val base = RollingMinHash.compute("abcdefghij".getBytes, 4)
-    val sup = RollingMinHash.compute("XXabcdefghijYY".getBytes, 4)
+    val base = RollingMinHash.compute("abcdefghij", 4)
+    val sup = RollingMinHash.compute("XXabcdefghijYY", 4)
     assert(sup <= base) // superstring's min is over a superset of windows
+    // codepoint semantics: equals a direct per-codepoint polynomial min,
+    // including non-ASCII (what an ord(substr(...)) SQL oracle computes)
+    def refMin(s: String, k: Int): Long = {
+      val cps = s.codePoints().toArray
+      cps.sliding(k).map(_.foldLeft(0L)((h, c) =>
+        (RollingMinHash.mulmod(h, 1000003L) + c) % RollingMinHash.M)).min
+    }
+    for (s <- Seq("héllo wörld héllo", "日本語のテキストです abc"))
+      assert(RollingMinHash.compute(s, 4) == refMin(s, 4))
   }
 
   test("text functions: tokens, ratios, langid markers") {

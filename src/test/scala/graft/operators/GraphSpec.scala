@@ -44,17 +44,31 @@ class GraphSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("distributed path reports non-convergence instead of wrong labels") {
+    // path graph of diameter 6: min-label propagation moves one hop per
+    // round, so 2 rounds cannot reach fixpoint — must throw, not return
+    // silently-truncated labels
+    val es = (1L to 7L).sliding(2).map(s => (s.head, s.last)).toSeq
+    assertThrows[IllegalStateException] {
+      Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
+        maxRounds = 2, driverThreshold = 0L).collect()
+    }
+  }
+
   test("bucketized range join equals naive join on random data") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>
       val points = Seq.tabulate(40)(i =>
         (i.toLong, new java.sql.Timestamp(rnd.nextLong(2000000L))))
         .toDF("pid", "pt")
-      val intervals = Seq.tabulate(10) { i =>
+      // last interval is malformed (end <= start, an epoch-zero end): it
+      // must contribute no matches and no bucket explosion
+      val intervals = (Seq.tabulate(10) { i =>
         val s0 = rnd.nextLong(1800000L)
         (i.toLong, new java.sql.Timestamp(s0),
           new java.sql.Timestamp(s0 + 1 + rnd.nextLong(400000L)))
-      }.toDF("iid", "s", "e")
+      } :+ ((99L, new java.sql.Timestamp(1700000L),
+        new java.sql.Timestamp(0L)))).toDF("iid", "s", "e")
       val naive = points.join(intervals,
           col("pt") >= col("s") && col("pt") < col("e"))
         .select("pid", "iid").collect()

@@ -128,6 +128,6 @@ class SkewLedgerSpec extends SparkSpec {
     assert(r.getAs[Int]("n_sh") == 2)
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Long]("rh") ==
-      graft.functions.RollingMinHash.compute("hello world".getBytes, 4))
+      graft.functions.RollingMinHash.compute("hello world", 4))
   }
 }
