@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.MoreQueries.queries ++
-      graft.queries.ExtensionQueries.queries
+      graft.queries.ExtensionQueries.queries ++
+      graft.queries.Round3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.MoreQueries.oracles ++
-      graft.queries.ExtensionQueries.oracles
+      graft.queries.ExtensionQueries.oracles ++
+      graft.queries.Round3Queries.oracles
 }

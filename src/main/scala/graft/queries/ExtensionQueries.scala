@@ -76,6 +76,26 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Drop-list accounting per dup cluster: how many docs and bytes the
+    * dedup decision removes, keeping each cluster's min-id representative.
+    * The reporting step a corpus-dedup run ends with (what did dedup
+    * save?), built on the same LSH→verify→components pipeline as d7. */
+  def d8_dup_drop_stats(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val labels = graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    labels.join(lens, labels("n") === lens("doc_id"))
+      .groupBy(col("l").as("cluster"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(col("len")).cast(LongType).as("bytes_total"),
+        sum(when(col("n") =!= col("l"), col("len")).otherwise(0))
+          .cast(LongType).as("bytes_dropped"))
+      .orderBy(col("cluster"))
+  }
+
   // ── text analysis ───────────────────────────────────────────────────────
 
   def t1_text_stats(s: SparkSession, dir: String): DataFrame =
@@ -376,6 +396,7 @@ object ExtensionQueries {
     "d5_embed_cosine_pairs" -> (d5_embed_cosine_pairs _),
     "d6_embed_cosine_exact" -> (d6_embed_cosine_exact _),
     "d7_dup_clusters"      -> (d7_dup_clusters _),
+    "d8_dup_drop_stats"    -> (d8_dup_drop_stats _),
     "t1_text_stats"        -> (t1_text_stats _),
     "t2_langid"            -> (t2_langid _),
     "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
@@ -486,6 +507,23 @@ object ExtensionQueries {
         |  SELECT u.b, r.l FROM reach r JOIN undirected u ON u.a = r.n)
         |SELECT n AS doc_id, MIN(l) AS cluster
         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    "d8_dup_drop_stats" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardSql),
+        |undirected AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM undirected),
+        |reach(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT u.b, r.l FROM reach r JOIN undirected u ON u.a = r.n),
+        |labels AS (SELECT n, MIN(l) AS cluster FROM reach GROUP BY n)
+        |SELECT cluster, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(length(d.text)) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(CASE WHEN lb.n <> lb.cluster THEN length(d.text)
+        |           ELSE 0 END) AS BIGINT) AS bytes_dropped
+        |FROM labels lb JOIN documents d ON d.doc_id = lb.n
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
     "d4_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Multimodal
+
+/** Third batch: exact percentiles, stratified deterministic sampling,
+  * SCD Type-2 dimension versioning (the warehouse-history operator an ETL
+  * engine is expected to ship), a composite document quality gate, and
+  * frame-sample chunking over multimodal payloads.
+  */
+object Round3Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    c.cast(DecimalType(18, scale))
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  // ── q49: exact percentiles per group (`percentile` is the exact sort-
+  //        based aggregate; a1 covers the approximate sketch twin) ────────
+  def q49_percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // ── q50: stratified deterministic sampling — per-stratum rates via the
+  //        same portable md5-prefix hash as q41, so rare strata can be
+  //        kept at higher rates than common ones (the class-balance knob
+  //        of a training-data pipeline). No RNG: re-runs and engines
+  //        agree row-for-row. ───────────────────────────────────────────
+  def q50_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws("-",
+      col("l_orderkey").cast(StringType),
+      col("l_linenumber").cast(StringType)))
+    // per-stratum threshold on the first hash byte: A≈10%, N≈5%, R≈20%
+    val thr = when(col("l_returnflag") === "A", "1a")
+      .when(col("l_returnflag") === "N", "0d")
+      .otherwise("33")
+    t(s, dir, "lineitem")
+      .filter(substring(key, 1, 2) < thr)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ── p7: SCD Type-2 history build — collapse each customer's order-
+  //        priority sequence into versioned [valid_from, valid_to) ranges
+  //        with an is_current flag. Gaps-and-islands over one window
+  //        partitioning: all three windows share (o_custkey) partitioning,
+  //        so the whole history builds in a single shuffle. ──────────────
+  def p7_scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val base = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast(DateType).as("d"),
+      col("o_orderpriority").as("state"))
+    val prev = lag(col("state"), 1).over(w)
+    val runs = base
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("state"), 1).otherwise(0))
+      .withColumn("ver", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("ver"))
+      .agg(min(col("state")).as("state"), min(col("d")).as("valid_from"))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("ver"))
+    val nextFrom = lead(col("valid_from"), 1).over(wv)
+    runs.select(
+      col("o_custkey"), col("ver").cast(IntegerType).as("version"),
+      col("state"), col("valid_from"), nextFrom.as("valid_to"),
+      nextFrom.isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  // ── t6: composite quality gate — keep/drop with machine-readable
+  //        reasons, the decision step the t1/t2 metrics feed. Reasons are
+  //        evaluated in a fixed order so the joined string is
+  //        deterministic. ────────────────────────────────────────────────
+  def t6_quality_filter(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val reasons = concat_ws(",",
+      when(length(txt) < 50, "too_short"),
+      when(length(txt) > 20000, "too_long"),
+      when(Text.punctRatio(txt) >= 0.2, "high_punct"),
+      when(Text.stopwordRatio(txt, Text.defaultStopwords) < 0.01,
+        "low_stopword"),
+      when(Text.langId(txt) === "und", "lang_und"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), (reasons === "").as("keep"),
+        reasons.as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── m2: frame-sample chunking — every 2nd 20-byte frame of each payload
+  //        becomes a row (the shape a video/audio decode stage consumes).
+  //        The per-frame "decode" is the deterministic stub byte-probe;
+  //        the plumbing (payload attach, index plan, explode, per-frame
+  //        projection) is the real thing. ────────────────────────────────
+  def m2_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 20
+    val withPayload = Multimodal.attachFakePayload(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .withColumn("n_frames",
+        (length(col("text")) / frameLen).cast(IntegerType) + 1)
+    Multimodal.sampleFrameIndexes(withPayload, "n_frames", stride = 2)
+      .select(col("doc_id"), col("text"),
+        explode(col("frame_idx")).as("frame"))
+      .filter(col("frame") * frameLen < length(col("text")))
+      .select(col("doc_id"), col("frame").cast(IntegerType).as("frame"),
+        ascii(col("text").substr(col("frame") * frameLen + 1, lit(1)))
+          .cast(IntegerType).as("frame_byte"))
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_percentile"        -> (q49_percentile _),
+    "q50_stratified_sample" -> (q50_stratified_sample _),
+    "p7_scd2"               -> (p7_scd2 _),
+    "t6_quality_filter"     -> (t6_quality_filter _),
+    "m2_frame_sample"       -> (m2_frame_sample _))
+
+  val oracles: Map[String, String] = Map(
+    "q49_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_stratified_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 2) <
+        |  CASE l_returnflag WHEN 'A' THEN '1a' WHEN 'N' THEN '0d'
+        |    ELSE '33' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_scd2" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |         o_orderpriority AS state
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+        |                   OR lag(state) OVER w <> state
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |runs0 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM marked),
+        |runs AS (
+        |  SELECT o_custkey, ver, MIN(state) AS state,
+        |         MIN(d) AS valid_from
+        |  FROM runs0 GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(ver AS INT) AS version, state, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  (lead(valid_from) OVER wv IS NULL) AS is_current
+        |FROM runs
+        |WINDOW wv AS (PARTITION BY o_custkey ORDER BY ver)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "t6_quality_filter" ->
+      """SELECT doc_id, (reasons = '') AS keep, reasons FROM (
+        |  SELECT doc_id, concat_ws(',',
+        |    CASE WHEN length(text) < 50 THEN 'too_short' END,
+        |    CASE WHEN length(text) > 20000 THEN 'too_long' END,
+        |    CASE WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / greatest(length(lower(text)), 1) >= 0.2 THEN 'high_punct' END,
+        |    CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS DOUBLE)
+        |           / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+        |           < 0.01 THEN 'low_stopword' END,
+        |    CASE WHEN (list_sort([
+        |        {'score': len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))), 'lang': 'de'},
+        |        {'score': len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains(['the','and','of','to','is','that','with','for'], x))), 'lang': 'en'},
+        |        {'score': len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains(['el','la','los','las','y','de','que','en','es'], x))), 'lang': 'es'},
+        |        {'score': len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains(['le','la','les','et','est','que','dans','une'], x))), 'lang': 'fr'},
+        |        {'score': len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains(['的','是','了','在','我','有','和','不'], x))), 'lang': 'zh'}])[5]).score
+        |      = 0 THEN 'lang_und' END) AS reasons
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(length(text) // 20 AS INT) + 1, 2)) AS frame
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  CAST(ord(substr(text, CAST(frame * 20 + 1 AS INT), 1)) AS INT)
+        |    AS frame_byte
+        |FROM f WHERE frame * 20 < length(text)
+        |ORDER BY doc_id, frame""".stripMargin)
+}
