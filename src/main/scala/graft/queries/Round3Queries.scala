@@ -125,11 +125,94 @@ object Round3Queries {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  // ── q51: FULL OUTER join — both sides partial, so nulls appear on each
+  //        side (the one join shape the suite didn't yet pin) ─────────────
+  def q51_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val b = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    a.join(b, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_big_orders"), col("c_acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  // ── q52: map-typed column surface — build per-group maps with
+  //        map_from_entries over a sorted collect_list (sort makes the
+  //        nondeterministic collect order irrelevant), then look up and
+  //        introspect. Output stays scalar so engines compare values, not
+  //        map encodings. ───────────────────────────────────────────────
+  def q52_map_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderpriority"), col("n"))))).as("m"))
+      .select(col("o_orderstatus"),
+        // coalesce: a priority absent from a status must read as 0 like
+        // the oracle's COUNT(CASE ...), not as a missing-key null
+        coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("urgent_n"),
+        coalesce(element_at(col("m"), "5-LOW"), lit(0L)).as("low_n"),
+        size(map_keys(col("m"))).cast(IntegerType).as("n_prio"))
+      .orderBy(col("o_orderstatus"))
+
+  // ── t7: TF-IDF top terms — the classic relevance scoring a text corpus
+  //        pipeline runs: tf per (doc, term), df per term, idf from the
+  //        corpus size (broadcast scalar — no driver-side collect of
+  //        anything bigger than one count), top-3 terms per doc with a
+  //        deterministic (score desc, term asc) tiebreak. ────────────────
+  def t7_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(Text.tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1).cast(DoubleType) /
+          (col("df") + 1).cast(DoubleType)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // ── p8: partitioned write + pruned read — the layout operator that makes
+  //        100 TB scans affordable: write partitioned by a low-cardinality
+  //        key, read back with a partition predicate (Catalyst prunes to
+  //        one directory — PlanAuditSpec pins the PartitionFilters), and
+  //        the oracle proves the round-trip loses nothing. ───────────────
+  def p8_partition_prune(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("orders_by_status").toString
+    t(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_percentile"        -> (q49_percentile _),
     "q50_stratified_sample" -> (q50_stratified_sample _),
+    "q51_full_outer"        -> (q51_full_outer _),
+    "q52_map_funcs"         -> (q52_map_funcs _),
     "p7_scd2"               -> (p7_scd2 _),
+    "p8_partition_prune"    -> (p8_partition_prune _),
     "t6_quality_filter"     -> (t6_quality_filter _),
+    "t7_tfidf"              -> (t7_tfidf _),
     "m2_frame_sample"       -> (m2_frame_sample _))
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +232,49 @@ object Round3Queries {
         |    CAST(l_linenumber AS VARCHAR)), 1, 2) <
         |  CASE l_returnflag WHEN 'A' THEN '1a' WHEN 'N' THEN '0d'
         |    ELSE '33' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1),
+        |b AS (
+        |  SELECT c_custkey, c_acctbal
+        |  FROM customer WHERE c_acctbal > 5000)
+        |SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+        |  n_big_orders, c_acctbal
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q52_map_funcs" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |    AS urgent_n,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_prio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t7_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+        |               / CAST(dfreq.df + 1 AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, ROUND(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "p8_partition_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p7_scd2" ->
       """WITH base AS (

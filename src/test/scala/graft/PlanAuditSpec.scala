@@ -59,4 +59,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("partitioned layout prunes to the one matching partition directory") {
+    val p = plan("p8_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      "the status predicate must prune partitions, not filter rows")
+    // the pruned partition column never appears as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      "partition predicate must not degrade to a row-level scan filter")
+  }
+
+  test("SCD2 history builds in one hash shuffle (windows reuse it)") {
+    // AQE's string repeats the plan under "== Initial Plan ==" — count
+    // exchanges only in the final plan above it
+    val p = executedPlan("p7_scd2").split("== Initial Plan ==")(0)
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"lag/run-sum/group/lead all share (o_custkey) partitioning; got " +
+        s"$hashExchanges hash exchanges:\n$p")
+  }
+
+  test("tf-idf broadcasts the term-frequency dictionary and corpus count") {
+    val p = executedPlan("t7_tfidf")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
