@@ -372,6 +372,47 @@ object ExtensionQueries {
       .orderBy(col("p_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: matched purchases emit as
+    * clicks arrive (like e8); *unmatched* purchases emit a null-padded row
+    * only once the watermark passes their timestamp and the join state
+    * evicts them — the outer-specific semantics e8's inner join never
+    * exercises. Purchases younger than the final watermark (max event time
+    * floored to ms, minus the 1 h delay) are still in state when the
+    * finite stream drains, so they never emit; the oracle reproduces
+    * exactly that eviction rule. */
+  def e9_stream_outer_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_ivojoin_${streamRunSeq.incrementAndGet()}"
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts_us"),
+        col("user_id"), col("event_type"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+    withStreamShuffle(s, 4) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("p_id"))
+      // count the *click* column: null-padded outer rows count as zero
+      .agg(count(col("c_user")).as("n_clicks"),
+        max(col("c_ts")).as("last_click"))
+      .orderBy(col("p_id"))
+  }
+
   // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -412,6 +453,7 @@ object ExtensionQueries {
     "e6_stream_static_join" -> (e6_stream_static_join _),
     "e7_stream_dedup"      -> (e7_stream_dedup _),
     "e8_stream_interval_join" -> (e8_stream_interval_join _),
+    "e9_stream_outer_interval_join" -> (e9_stream_outer_interval_join _),
     "m1_multimodal_features" -> (m1_multimodal_features _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
@@ -683,6 +725,31 @@ object ExtensionQueries {
         |FROM p JOIN c ON c.user_id = p.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e9_stream_outer_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'),
+        |agg AS (
+        |  SELECT p.p_id, ANY_VALUE(p.p_ts) AS p_ts,
+        |         COUNT(c.c_ts) AS n_clicks, MAX(c.c_ts) AS last_click
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
+        |  GROUP BY 1),
+        |-- the stream's final global watermark: each input's watermark is
+        |-- its own max event time (tracked in ms) minus the 1 h delay, and
+        |-- the join runs at the MIN of the two — here the click side lags.
+        |-- Unmatched purchases at or above it are still in join state when
+        |-- the finite stream drains, so the outer join never emits them
+        |wm AS (SELECT make_timestamp(least(
+        |    epoch_ms(MAX(CASE WHEN event_type = 'purchase' THEN ts END)),
+        |    epoch_ms(MAX(CASE WHEN event_type = 'click' THEN ts END)))
+        |  * 1000 - 3600000000) AS w FROM e)
+        |SELECT p_id, n_clicks, last_click FROM agg, wm
+        |WHERE n_clicks > 0 OR p_ts < wm.w
+        |ORDER BY p_id""".stripMargin,
     "e7_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
