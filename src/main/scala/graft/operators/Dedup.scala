@@ -68,6 +68,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs: every (new, corpus) pair sharing ≥1
+    * shingle, scored by exact Jaccard — the incremental-ingest shape
+    * ("is this crawl batch already in the corpus?"). Same candidate
+    * complexity as [[ngramJaccard]]; at scale the corpus shingle table is
+    * a precomputed, bucketed posting list the batch joins against.
+    * Returns (`id_a` from `newDf`, `id_b` from `corpusDf`, `jaccard`). */
+  def crossNgramJaccard(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    jaccardScore(
+      shingleTable(newDf, idCol, textCol, n).as("a")
+        .join(shingleTable(corpusDf, idCol, textCol, n).as("b"),
+          col("a.sh") === col("b.sh")),
+      threshold)
+
   /** MinHash signatures: per document, `numHashes` independent min-hashes
     * over its shingle multiset (min is duplicate-insensitive, so no
     * distinct pass is needed). Computed by the native

@@ -372,6 +372,24 @@ object ExtensionQueries {
       .orderBy(col("p_id"))
   }
 
+  /** Cross-corpus incremental dedup: treat odd doc_ids as the incoming
+    * batch and even doc_ids as the existing corpus; a batch doc is dropped
+    * when it is ≥0.5 Jaccard-similar to any corpus doc (dup_of = the
+    * minimum such corpus id). The "don't re-ingest what you already have"
+    * operator of a continuously-crawling pipeline. */
+  def d9_cross_corpus_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val best = Dedup.crossNgramJaccard(batch, corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(min(col("id_b")).as("dup_of"))
+    batch.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-stream LEFT OUTER interval join: matched purchases emit as
     * clicks arrive (like e8); *unmatched* purchases emit a null-padded row
     * only once the watermark passes their timestamp and the join state
@@ -438,6 +456,7 @@ object ExtensionQueries {
     "d6_embed_cosine_exact" -> (d6_embed_cosine_exact _),
     "d7_dup_clusters"      -> (d7_dup_clusters _),
     "d8_dup_drop_stats"    -> (d8_dup_drop_stats _),
+    "d9_cross_corpus_dedup" -> (d9_cross_corpus_dedup _),
     "t1_text_stats"        -> (t1_text_stats _),
     "t2_langid"            -> (t2_langid _),
     "t3_fingerprint_rolling" -> (t3_fingerprint_rolling _),
@@ -549,6 +568,32 @@ object ExtensionQueries {
         |  SELECT u.b, r.l FROM reach r JOIN undirected u ON u.a = r.n)
         |SELECT n AS doc_id, MIN(l) AS cluster
         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    "d9_cross_corpus_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle FROM (
+        |    SELECT doc_id, w,
+        |           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |    FROM tok) WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT id_a AS doc_id, MIN(id_b) AS dup_of
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |  GROUP BY 1)
+        |SELECT d.doc_id, b.dup_of, (b.dup_of IS NULL) AS kept
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
     "d8_dup_drop_stats" ->
       s"""WITH RECURSIVE pairs AS ($exactJaccardSql),
         |undirected AS (

@@ -187,6 +187,27 @@ object Round3Queries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // ── q53: IGNORE NULLS window navigation — carry the last / first
+  //        non-null observation forward over a sparse column (the
+  //        gap-filling idiom time-series pipelines lean on) ──────────────
+  def q53_ignore_nulls(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END)
+        |    IGNORE NULLS OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_settled_price,
+        |  FIRST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END)
+        |    IGNORE NULLS OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_settled_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   // ── p8: partitioned write + pruned read — the layout operator that makes
   //        100 TB scans affordable: write partitioned by a low-cardinality
   //        key, read back with a partition predicate (Catalyst prunes to
@@ -209,6 +230,7 @@ object Round3Queries {
     "q50_stratified_sample" -> (q50_stratified_sample _),
     "q51_full_outer"        -> (q51_full_outer _),
     "q52_map_funcs"         -> (q52_map_funcs _),
+    "q53_ignore_nulls"      -> (q53_ignore_nulls _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
     "t6_quality_filter"     -> (t6_quality_filter _),
@@ -251,6 +273,20 @@ object Round3Queries {
         |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_prio
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END
+        |    IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_settled_price,
+        |  FIRST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_totalprice END
+        |    IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_settled_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "t7_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
