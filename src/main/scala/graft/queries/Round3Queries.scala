@@ -225,12 +225,45 @@ object Round3Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ── q54: boolean / bitwise aggregates — the remaining aggregate-surface
+  //        corner (every/any twins of DuckDB bool_and/bool_or, bit_and/or
+  //        over integral keys) ───────────────────────────────────────────
+  def q54_bool_bit_aggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        every(col("l_quantity") < 50).as("all_small"),
+        some(col("l_discount") > 0.09).as("any_high_disc"),
+        bit_and(col("l_linenumber").cast(LongType)).as("key_bit_and"),
+        bit_or(col("l_linenumber").cast(LongType)).as("key_bit_or"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // ── p9: DQ quarantine split — route rows through validation rules and
+  //        account for every failure (the dead-letter-queue shape of a
+  //        production ingest: nothing silently dropped). One pass, one
+  //        aggregate; at scale the same rule column also partitions the
+  //        quarantine sink. ──────────────────────────────────────────────
+  def p9_quarantine(s: SparkSession, dir: String): DataFrame = {
+    val rule = when(col("o_totalprice") <= 0, "nonpositive_price")
+      .when(col("o_orderdate").cast(DateType).isNull, "bad_date")
+      .when(!col("o_orderstatus").isin("O", "F", "P"), "unknown_status")
+      .otherwise("ok")
+    t(s, dir, "orders")
+      .groupBy(rule.as("rule"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_percentile"        -> (q49_percentile _),
     "q50_stratified_sample" -> (q50_stratified_sample _),
     "q51_full_outer"        -> (q51_full_outer _),
     "q52_map_funcs"         -> (q52_map_funcs _),
     "q53_ignore_nulls"      -> (q53_ignore_nulls _),
+    "q54_bool_bit_aggs"     -> (q54_bool_bit_aggs _),
+    "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
     "t6_quality_filter"     -> (t6_quality_filter _),
@@ -307,6 +340,26 @@ object Round3Queries {
         |  FROM scored)
         |SELECT doc_id, rk, term, ROUND(tfidf, 6) AS tfidf
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q54_bool_bit_aggs" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity < 50) AS all_small,
+        |  bool_or(l_discount > 0.09) AS any_high_disc,
+        |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+        |    AS key_bit_and,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+        |    AS key_bit_or,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p9_quarantine" ->
+      """SELECT CASE
+        |    WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+        |    WHEN CAST(o_orderdate AS DATE) IS NULL THEN 'bad_date'
+        |    WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 'unknown_status'
+        |    ELSE 'ok' END AS rule,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "p8_partition_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
