@@ -79,4 +79,39 @@ object Multimodal {
       stride: Int): DataFrame =
     df.withColumn("frame_idx",
       sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride)))
+
+  /** Batched model scoring over binary payloads — the Scala analog of
+    * `mapInPandas` batch semantics: rows stream through each partition in
+    * `batchSize` groups, the "model" is invoked once per batch (where a
+    * real deployment amortizes tensor transfer / session overhead), and
+    * scores come back row-aligned.
+    *
+    * ==== STUB ====
+    * The per-batch model call is a deterministic per-row byte fold (so the
+    * result is engine-recomputable and independent of batch boundaries);
+    * a real ONNX/Triton client replaces only `runModelBatch`.
+    */
+  def scoreBatchedStub(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("score", DoubleType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    def runModelBatch(batch: Seq[Array[Byte]]): Seq[Double] =
+      // STUB model: per-row fold, deliberately batch-shape-independent
+      batch.map { bytes =>
+        var s = 0L
+        var i = 0
+        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        (s % 997L) / 997.0
+      }
+    df.mapPartitions { rows =>
+      // per-partition init would create the model session here (once)
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores = runModelBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.lazyZip(scores).map { (row, sc) => Row.fromSeq(row.toSeq :+ sc) }
+      }
+    }(enc)
+  }
 }

@@ -447,6 +447,21 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** Batched model scoring over payloads (the mapInPandas-shaped stage):
+    * per-doc stub scores aggregated per source. Scores are row-wise
+    * deterministic, so batch boundaries (a pure efficiency knob) cannot
+    * leak into results — which is exactly what lets the oracle check it. */
+  def m3_batched_scores(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.attachFakePayload(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+      "text")
+    Multimodal.scoreBatchedStub(withPayload, batchSize = 32)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 6).as("mean_score"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"       -> (d1_dedup_exact _),
     "d2_ngram_jaccard"     -> (d2_ngram_jaccard _),
@@ -473,7 +488,8 @@ object ExtensionQueries {
     "e7_stream_dedup"      -> (e7_stream_dedup _),
     "e8_stream_interval_join" -> (e8_stream_interval_join _),
     "e9_stream_outer_interval_join" -> (e9_stream_outer_interval_join _),
-    "m1_multimodal_features" -> (m1_multimodal_features _))
+    "m1_multimodal_features" -> (m1_multimodal_features _),
+    "m3_batched_scores"    -> (m3_batched_scores _))
 
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
     * d2 (exact algorithm) and d3 (MinHash-LSH candidates + exact
@@ -702,6 +718,12 @@ object ExtensionQueries {
         |  list_aggregate(grams, 'min') AS min_gram,
         |  list_aggregate(grams, 'max') AS max_gram
         |FROM g ORDER BY doc_id""".stripMargin,
+    "m3_batched_scores" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(AVG((list_sum(list_transform(range(1, length(text) + 1),
+        |      p -> ord(substr(text, CAST(p AS INT), 1)))) % 997) / 997.0),
+        |    6) AS mean_score
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_multimodal_features" ->
       """WITH f AS (
         |  SELECT source, text,

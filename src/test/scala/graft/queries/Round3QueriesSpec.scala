@@ -74,6 +74,21 @@ class Round3QueriesSpec extends SparkSpec {
     } finally res.unpersist()
   }
 
+  test("batched scoring is independent of batch size and partitioning") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = Multimodal.attachFakePayload(docs, "text")
+    def scores(batch: Int, parts: Int): Map[Long, Double] =
+      Multimodal.scoreBatchedStub(base.repartition(parts), batch)
+        .select(col("doc_id"), col("score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = scores(32, 4)
+    assert(ref == scores(1, 4), "batch size must not change results")
+    assert(ref == scores(7, 1), "partitioning must not change results")
+    assert(ref.values.forall(v => v >= 0.0 && v < 1.0))
+  }
+
   test("tf-idf ranks at most 3 terms per doc with no score inversions") {
     val r = Round3Queries.t7_tfidf(spark, sf).cache()
     try {
