@@ -80,6 +80,21 @@ object Multimodal {
     df.withColumn("frame_idx",
       sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride)))
 
+  /** Resize plan for image-like payloads: target dimensions that fit
+    * `maxEdgePx` preserving aspect ratio (never upscaled). Pure column
+    * math over the metadata struct — the actual pixel transform is the
+    * decode stage's job (STUB, like [[decodeFeaturesStub]]); this computes
+    * the batch-wide geometry a resize kernel consumes. */
+  def resizePlan(df: DataFrame, maxEdgePx: Int): DataFrame = {
+    val w = col("media.width_px").cast(DoubleType)
+    val h = col("media.height_px").cast(DoubleType)
+    val scale = least(lit(1.0), lit(maxEdgePx.toDouble) / greatest(w, h))
+    df.withColumn("resize", struct(
+      round(w * scale).cast(IntegerType).as("out_w"),
+      round(h * scale).cast(IntegerType).as("out_h"),
+      round(scale, 6).as("scale")))
+  }
+
   /** Batched model scoring over binary payloads — the Scala analog of
     * `mapInPandas` batch semantics: rows stream through each partition in
     * `batchSize` groups, the "model" is invoked once per batch (where a

@@ -337,6 +337,28 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Complete-output-mode streaming aggregate — the third output mode
+    * (e1-e8 cover append; dedup/sessions carry update-shaped state): the
+    * sink holds the full current aggregate after every micro-batch, the
+    * mode a live dashboard consumes. Unwindowed, so state is one row per
+    * key — bounded by key cardinality, not stream length. */
+  def e10_stream_complete_agg(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_complete_${streamRunSeq.incrementAndGet()}"
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agged = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+    withStreamShuffle(s, 4) {
+      val q = agged.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("event_type"))
+  }
+
   /** Stream-stream time-interval join: purchase events join click events
     * of the same user from the preceding 30 minutes, both sides
     * watermarked so join state expires instead of growing with the
@@ -488,6 +510,7 @@ object ExtensionQueries {
     "e7_stream_dedup"      -> (e7_stream_dedup _),
     "e8_stream_interval_join" -> (e8_stream_interval_join _),
     "e9_stream_outer_interval_join" -> (e9_stream_outer_interval_join _),
+    "e10_stream_complete_agg" -> (e10_stream_complete_agg _),
     "m1_multimodal_features" -> (m1_multimodal_features _),
     "m3_batched_scores"    -> (m3_batched_scores _))
 
@@ -817,6 +840,10 @@ object ExtensionQueries {
         |SELECT p_id, n_clicks, last_click FROM agg, wm
         |WHERE n_clicks > 0 OR p_ts < wm.w
         |ORDER BY p_id""".stripMargin,
+    "e10_stream_complete_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "e7_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

@@ -89,6 +89,29 @@ class Round3QueriesSpec extends SparkSpec {
     assert(ref.values.forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("resize plan fits the max edge, keeps aspect, never upscales") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planned = Multimodal.resizePlan(
+      Multimodal.attachFakePayload(docs, "text"), maxEdgePx = 512)
+    val bad = planned.filter(
+      greatest(col("resize.out_w"), col("resize.out_h")) > 512 ||
+        col("resize.scale") > 1.0 ||
+        col("resize.out_w") > col("media.width_px") ||
+        col("resize.out_h") > col("media.height_px"))
+    assert(bad.isEmpty)
+    // aspect preserved up to rounding: out edges are w*scale, h*scale
+    // rounded to the nearest pixel (extreme fake aspect ratios make a
+    // ratio-based check meaningless at 7-px edges)
+    val drift = planned.filter(
+      abs(col("resize.out_w") -
+        col("media.width_px") * col("resize.scale")) > lit(0.51) ||
+        abs(col("resize.out_h") -
+          col("media.height_px") * col("resize.scale")) > lit(0.51))
+    assert(drift.isEmpty)
+  }
+
   test("tf-idf ranks at most 3 terms per doc with no score inversions") {
     val r = Round3Queries.t7_tfidf(spark, sf).cache()
     try {
