@@ -104,6 +104,18 @@ object Round3Queries {
       .orderBy(col("doc_id"))
   }
 
+  // ── t8: PII-style scrubbing — mask digit runs in semi-structured
+  //        payloads, count redactions per row, fingerprint the scrubbed
+  //        text (the audit trail a privacy pass leaves behind). Plain
+  //        regexp column ops: codegen'd, shuffle-free, row-parallel. ─────
+  def t8_pii_scrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+        .as("n_redacted"),
+      md5(regexp_replace(col("props"), "[0-9]+", "#")).as("scrubbed_md5"))
+      .orderBy(col("event_id"))
+
   // ── m2: frame-sample chunking — every 2nd 20-byte frame of each payload
   //        becomes a row (the shape a video/audio decode stage consumes).
   //        The per-frame "decode" is the deterministic stub byte-probe;
@@ -268,6 +280,7 @@ object Round3Queries {
     "p8_partition_prune"    -> (p8_partition_prune _),
     "t6_quality_filter"     -> (t6_quality_filter _),
     "t7_tfidf"              -> (t7_tfidf _),
+    "t8_pii_scrub"          -> (t8_pii_scrub _),
     "m2_frame_sample"       -> (m2_frame_sample _))
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +424,12 @@ object Round3Queries {
         |      = 0 THEN 'lang_und' END) AS reasons
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t8_pii_scrub" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+        |    AS n_redacted,
+        |  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrubbed_md5
+        |FROM events ORDER BY event_id""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text,
