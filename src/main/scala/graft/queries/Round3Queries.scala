@@ -104,6 +104,49 @@ object Round3Queries {
       .orderBy(col("doc_id"))
   }
 
+  // ── p10: schema-evolution read — two batches written under drifting
+  //        schemas (a column added mid-stream) merge back into one scan
+  //        (`mergeSchema`), with nulls where the old batch lacks the new
+  //        column. The reality of 100 TB accumulated over schema
+  //        versions. ──────────────────────────────────────────────────────
+  def p10_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/batch1", s"$out/batch2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_schema")).as("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("status"))
+  }
+
+  // ── p11: idempotent partition backfill — dynamic partition overwrite
+  //        replaces ONLY the partitions present in the incoming write and
+  //        leaves the rest untouched: re-running a day's backfill can't
+  //        clobber the other days. ────────────────────────────────────────
+  def p11_partition_backfill(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_backfill")
+      .resolve("orders_by_status").toString
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    // re-run the 'F' partition's pipeline (same input → same output);
+    // dynamic mode must replace just that directory
+    orders.filter(col("o_orderstatus") === "F")
+      .write.partitionBy("o_orderstatus")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ── t8: PII-style scrubbing — mask digit runs in semi-structured
   //        payloads, count redactions per row, fingerprint the scrubbed
   //        text (the audit trail a privacy pass leaves behind). Plain
@@ -278,6 +321,8 @@ object Round3Queries {
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
+    "p10_schema_evolution"  -> (p10_schema_evolution _),
+    "p11_partition_backfill" -> (p11_partition_backfill _),
     "t6_quality_filter"     -> (t6_quality_filter _),
     "t7_tfidf"              -> (t7_tfidf _),
     "t8_pii_scrub"          -> (t8_pii_scrub _),
@@ -424,6 +469,16 @@ object Round3Queries {
         |      = 0 THEN 'lang_und' END) AS reasons
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "p10_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_schema'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p11_partition_backfill" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "t8_pii_scrub" ->
       """SELECT event_id,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
