@@ -104,6 +104,29 @@ object Round3Queries {
       .orderBy(col("doc_id"))
   }
 
+  // ── q55: recursive CTE (Spark 4 WITH RECURSIVE) — generate a calendar
+  //        month spine by recursion and left-join per-month order counts,
+  //        zero-filling empty months. The recursion runs on both engines
+  //        natively. ───────────────────────────────────────────────────────
+  def q55_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < DATE '1996-12-01'
+        |),
+        |oc AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |           AS m,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT months.m AS month, COALESCE(oc.n, 0) AS n_orders
+        |FROM months LEFT JOIN oc ON oc.m = months.m
+        |ORDER BY month""".stripMargin)
+  }
+
   // ── p10: schema-evolution read — two batches written under drifting
   //        schemas (a column added mid-stream) merge back into one scan
   //        (`mergeSchema`), with nulls where the old batch lacks the new
@@ -318,6 +341,7 @@ object Round3Queries {
     "q52_map_funcs"         -> (q52_map_funcs _),
     "q53_ignore_nulls"      -> (q53_ignore_nulls _),
     "q54_bool_bit_aggs"     -> (q54_bool_bit_aggs _),
+    "q55_recursive_cte"     -> (q55_recursive_cte _),
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
@@ -469,6 +493,21 @@ object Round3Queries {
         |      = 0 THEN 'lang_und' END) AS reasons
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q55_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '1996-12-01'
+        |),
+        |oc AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |           AS m,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT months.m AS month, COALESCE(oc.n, 0) AS n_orders
+        |FROM months LEFT JOIN oc ON oc.m = months.m
+        |ORDER BY month""".stripMargin,
     "p10_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_schema'
         |            ELSE o_orderstatus END AS status,
