@@ -127,6 +127,23 @@ object Round3Queries {
         |ORDER BY month""".stripMargin)
   }
 
+  // ── q56: VARIANT ingestion (Spark 4's semi-structured type) — parse the
+  //        JSON payload once into the binary VARIANT encoding, then typed
+  //        path extraction; the schema-on-read shape that replaces
+  //        string-re-parsing per field at scale. Oracle recomputes the
+  //        same paths with its native JSON machinery. ────────────────────
+  def q56_variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("variant_get(v, '$.missing', 'int')").as("missing"))
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        count(col("missing")).as("n_missing"))
+      .orderBy(col("k_mod"))
+
   // ── p10: schema-evolution read — two batches written under drifting
   //        schemas (a column added mid-stream) merge back into one scan
   //        (`mergeSchema`), with nulls where the old batch lacks the new
@@ -342,6 +359,7 @@ object Round3Queries {
     "q53_ignore_nulls"      -> (q53_ignore_nulls _),
     "q54_bool_bit_aggs"     -> (q54_bool_bit_aggs _),
     "q55_recursive_cte"     -> (q55_recursive_cte _),
+    "q56_variant"           -> (q56_variant _),
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
@@ -508,6 +526,13 @@ object Round3Queries {
         |SELECT months.m AS month, COALESCE(oc.n, 0) AS n_orders
         |FROM months LEFT JOIN oc ON oc.m = months.m
         |ORDER BY month""".stripMargin,
+    "q56_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+        |    AS sum_k,
+        |  COUNT(CAST(json_extract(props, '$.missing') AS INT)) AS n_missing
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "p10_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_schema'
         |            ELSE o_orderstatus END AS status,
