@@ -52,7 +52,10 @@ object Bench {
     val results =
       if (p1.map(_._2).sum > 150.0) p1
       else p1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
+    // "12,345" and corrupt the JSON the harness parses
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -78,14 +78,21 @@ object Graph {
       round += 1
     }
     und.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist() // release the last round's cache on the error path too
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxRounds; raise maxRounds or switch to star contraction")
-    // Hand back an uncached result: materialize the fixpoint into a local
-    // checkpoint-free copy via the cached plan, then release the cache so
-    // no entry leaks past this call (the caller owns any further persistence).
+    }
+    // Materialize the fixpoint via the still-cached plan into an eager
+    // localCheckpoint, then drop the cache: no cache entry outlives the
+    // call, and the iterative lineage (O(rounds) joins) is truncated so
+    // consumers don't risk recomputing it. Trade-off: localCheckpoint
+    // blocks are executor-local and not fault-tolerant — a long-lived
+    // cluster deployment should write the result to storage instead of
+    // holding this handle across executor churn (the blocks free when the
+    // returned DataFrame is garbage collected).
     val result = labels.localCheckpoint(true)
     labels.unpersist()
     result

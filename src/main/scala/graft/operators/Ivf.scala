@@ -14,7 +14,7 @@ import graft.functions.NativeExprs
   * data-oblivious.
   *
   * Deterministic by construction (so the result is oracle-checkable):
-  *  - init = the k lowest-id vectors;
+  *  - init = k vectors evenly spaced through the id order;
   *  - per-dimension centroid means accumulate in DECIMAL (order-independent
   *    across partitions — a double sum would drift with partitioning and
   *    could flip assignments between runs);

@@ -114,11 +114,14 @@ object Multimodal {
       .encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     def runModelBatch(batch: Seq[Array[Byte]]): Seq[Double] =
-      // STUB model: per-row fold, deliberately batch-shape-independent
+      // STUB model: per-row fold over the decoded text's Unicode
+      // codepoints, deliberately batch-shape-independent. Codepoints (not
+      // raw UTF-8 bytes) keep the value recomputable by a SQL-side
+      // ord(substr(...)) oracle for any text — the same portability rule
+      // as polyHash/RollingMinHash.
       batch.map { bytes =>
-        var s = 0L
-        var i = 0
-        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().asLongStream().sum()
         (s % 997L) / 997.0
       }
     df.mapPartitions { rows =>

@@ -23,6 +23,16 @@ object Round3Queries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(dec(c, scale)).cast(DoubleType)
 
+  /** Stable scratch dir per query: re-runs overwrite the same location
+    * instead of leaking a fresh temp copy of the input per invocation
+    * (Bench runs every query twice; Verify/Explain/specs run them again). */
+  private def scratch(name: String): String = {
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(d.getParent)
+    d.toString
+  }
+
   // ── q49: exact percentiles per group (`percentile` is the exact sort-
   //        based aggregate; a1 covers the approximate sketch twin) ────────
   def q49_percentile(s: SparkSession, dir: String): DataFrame =
@@ -150,7 +160,7 @@ object Round3Queries {
   //        column. The reality of 100 TB accumulated over schema
   //        versions. ──────────────────────────────────────────────────────
   def p10_schema_evolution(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val out = scratch("p10_evo")
     val orders = t(s, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -170,8 +180,7 @@ object Round3Queries {
   //        leaves the rest untouched: re-running a day's backfill can't
   //        clobber the other days. ────────────────────────────────────────
   def p11_partition_backfill(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_backfill")
-      .resolve("orders_by_status").toString
+    val out = scratch("p11_orders_by_status")
     val orders = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
@@ -309,8 +318,7 @@ object Round3Queries {
   //        one directory — PlanAuditSpec pins the PartitionFilters), and
   //        the oracle proves the round-trip loses nothing. ───────────────
   def p8_partition_prune(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_part")
-      .resolve("orders_by_status").toString
+    val out = scratch("p8_orders_by_status")
     t(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)
