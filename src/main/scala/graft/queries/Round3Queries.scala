@@ -154,6 +154,29 @@ object Round3Queries {
         count(col("missing")).as("n_missing"))
       .orderBy(col("k_mod"))
 
+  // ── q57: per-group top-k via a typed Aggregator (UDAF surface) — the
+  //        bounded-buffer map-side combine that makes per-group top-k
+  //        viable on groups spanning millions of rows (contrast q10's
+  //        global TakeOrderedAndProject and q19's full-sort window) ──────
+  def q57_topk_per_group(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAgg(3).toColumn
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, price, key) => (price, key) }
+      .agg(agg.name("topk"))
+      .flatMap { case (prio, topk) =>
+        topk.zipWithIndex.map { case ((price, key), i) =>
+          (prio, i + 1, key, price)
+        }
+      }
+      .toDF("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .withColumn("rk", col("rk").cast(IntegerType))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   // ── p10: schema-evolution read — two batches written under drifting
   //        schemas (a column added mid-stream) merge back into one scan
   //        (`mergeSchema`), with nulls where the old batch lacks the new
@@ -368,6 +391,7 @@ object Round3Queries {
     "q54_bool_bit_aggs"     -> (q54_bool_bit_aggs _),
     "q55_recursive_cte"     -> (q55_recursive_cte _),
     "q56_variant"           -> (q56_variant _),
+    "q57_topk_per_group"    -> (q57_topk_per_group _),
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
@@ -541,6 +565,16 @@ object Round3Queries {
         |    AS sum_k,
         |  COUNT(CAST(json_extract(props, '$.missing') AS INT)) AS n_missing
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+        |    o_orderkey, o_totalprice
+        |  FROM orders)
+        |SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
     "p10_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_schema'
         |            ELSE o_orderstatus END AS status,
