@@ -60,31 +60,41 @@ object Dialect {
   def tryStrptime(c: Column, strptimeFmt: String): Column =
     try_to_timestamp(c, lit(strptimeToJava(strptimeFmt)))
 
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Native-expression builders, shared by the per-session registration
+    * ([[registerAll]]) and the config-driven [[GraftExtensions]] path. */
+  private[functions] val nativeBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "token_shingles" ->
+      ((es: Seq[Expression]) =>
+        TokenShingles(es.head, litInt(es(1), "token_shingles n"))),
+    "minhash_sig" ->
+      ((es: Seq[Expression]) =>
+        MinHashSig(es.head, litInt(es(1), "minhash_sig k"))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "dot_product" -> ((es: Seq[Expression]) => DotProductF(es.head, es(1))),
+    "cosine_sim" -> ((es: Seq[Expression]) => CosineSimF(es.head, es(1))),
+    "rolling_min_hash" ->
+      ((es: Seq[Expression]) =>
+        RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))))
+
   /** Register SQL-callable dialect + native functions on the session so
     * plan-authored SQL (`transform.sql` steps) can use them directly:
     * `try_strptime` (DuckDB compat) plus the engine's native expressions
     * (`token_shingles`, `minhash_sig`, `simhash64`, `dot_product`,
     * `cosine_sim`, `rolling_min_hash`). */
   def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     val reg = spark.sessionState.functionRegistry
-    def litInt(e: Expression, what: String): Int = e match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
+    nativeBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    reg.createOrReplaceTempFunction("token_shingles",
-      es => TokenShingles(es.head, litInt(es(1), "token_shingles n")), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, litInt(es(1), "minhash_sig k")), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProductF(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimF(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_min_hash",
-      es => RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k")), "scala_udf")
     val parse = (s: String, fmt: String) => {
       if (s == null || fmt == null) null
       else {

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a [[org.apache.spark.sql.SparkSessionExtensions]]' injected
+    * functions to a registry (`registerFunctions` is `private[sql]`);
+    * lets tests drive the `spark.sql.extensions` wiring without building
+    * a fresh SparkContext. */
+  def applyInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

@@ -38,4 +38,26 @@ class DialectSpec extends SparkSpec {
         |""".stripMargin).collect()(0).getDate(0).toString
     assert(got == "2010-05-02") // May 2 — month-first, the declared format
   }
+
+  test("GraftExtensions injects working native-function builders") {
+    // `spark.sql.extensions` is a static conf read when the SparkContext's
+    // first session is built — unreachable from this shared-JVM suite — so
+    // drive the same wiring directly: apply the extensions class to an
+    // Extensions object and register into a fresh session's registry
+    // (exactly what session construction does with the config set).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val s2 = spark.newSession()
+    org.apache.spark.sql.graft.ColumnBridge.applyInjectedFunctions(
+      ext, s2.sessionState.functionRegistry)
+    val r = s2.sql(
+      "SELECT rolling_min_hash('hello world', 4) AS h, " +
+        "simhash64(array('a','b')) AS sh").collect()(0)
+    assert(r.getLong(0) == RollingMinHash.compute("hello world", 4))
+    assert(r.getLong(1) != 0L)
+    // and the plain session (no registration) must NOT see them
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.newSession().sql("SELECT rolling_min_hash('x', 4)").collect()
+    }
+  }
 }
