@@ -177,6 +177,23 @@ object Round3Queries {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  // ── q58: salted skew join through the oracle gate — lineitem joined to a
+  //        3-row dim on l_returnflag is the pathological all-hot-keys
+  //        shape; salting spreads each key over 8 tasks and the result
+  //        must equal the plain join exactly (salting only changes
+  //        partitioning, never semantics) ───────────────────────────────
+  def q58_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.createDataFrame(Seq(
+      ("A", "returned"), ("N", "active"), ("R", "refunded")))
+      .toDF("flag", "flag_name")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity"))
+    graft.operators.Skew.saltedJoin(li, dim, "flag", salts = 8)
+      .groupBy(col("flag_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("flag_name"))
+  }
+
   // ── p10: schema-evolution read — two batches written under drifting
   //        schemas (a column added mid-stream) merge back into one scan
   //        (`mergeSchema`), with nulls where the old batch lacks the new
@@ -392,6 +409,7 @@ object Round3Queries {
     "q55_recursive_cte"     -> (q55_recursive_cte _),
     "q56_variant"           -> (q56_variant _),
     "q57_topk_per_group"    -> (q57_topk_per_group _),
+    "q58_salted_join"       -> (q58_salted_join _),
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
@@ -575,6 +593,12 @@ object Round3Queries {
         |SELECT o_orderpriority, rk, o_orderkey, o_totalprice
         |FROM ranked WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'returned'
+        |       WHEN 'N' THEN 'active' ELSE 'refunded' END AS flag_name,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "p10_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_schema'
         |            ELSE o_orderstatus END AS status,
