@@ -26,8 +26,12 @@ class TopKAgg(k: Int)
 
   override def reduce(buf: Seq[(Double, Long)],
       row: (Double, Long)): Seq[(Double, Long)] =
+    // fast path: a full buffer whose worst entry beats the row — the
+    // overwhelmingly common case on large groups — costs one comparison,
+    // no allocation, no sort
+    if (buf.length >= k && ord.lteq(buf.last, row)) buf
     // k is small: insert-sort-trim beats heap bookkeeping at this size
-    (buf :+ row).sorted(ord).take(k)
+    else (buf :+ row).sorted(ord).take(k)
 
   override def merge(a: Seq[(Double, Long)],
       b: Seq[(Double, Long)]): Seq[(Double, Long)] =

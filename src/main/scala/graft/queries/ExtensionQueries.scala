@@ -743,9 +743,10 @@ object ExtensionQueries {
         |FROM g ORDER BY doc_id""".stripMargin,
     "m3_batched_scores" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  ROUND(AVG((list_sum(list_transform(range(1, length(text) + 1),
-        |      p -> ord(substr(text, CAST(p AS INT), 1)))) % 997) / 997.0),
-        |    6) AS mean_score
+        |  ROUND(AVG((COALESCE(list_sum(list_transform(
+        |      range(1, length(text) + 1),
+        |      p -> ord(substr(text, CAST(p AS INT), 1)))), 0) % 997)
+        |    / 997.0), 6) AS mean_score
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_multimodal_features" ->
       """WITH f AS (

@@ -362,8 +362,7 @@ object MoreQueries {
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-    val out = java.nio.file.Files.createTempDirectory("graft_rt")
-      .resolve("slice.csv").toString
+    val out = graft.Scratch.dir("p1_slice.csv")
     graft.sinks.CsvSink.writeSingleFile(sample, out)
     graft.sources.Sources.loadCsv(s, out, maxBytes = Long.MaxValue)
       .agg(
@@ -378,7 +377,7 @@ object MoreQueries {
     val slice = t(s, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val out = graft.Scratch.dir("p5_orc")
     slice.write.mode("overwrite").orc(out)
     s.read.orc(out).agg(
       count(lit(1)).as("n"),
@@ -390,7 +389,7 @@ object MoreQueries {
     val slice = t(s, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val out = graft.Scratch.dir("p6_json")
     slice.write.mode("overwrite").json(out)
     s.read.json(out).agg(
       count(lit(1)).as("n"),

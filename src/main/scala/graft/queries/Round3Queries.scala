@@ -23,15 +23,7 @@ object Round3Queries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(dec(c, scale)).cast(DoubleType)
 
-  /** Stable scratch dir per query: re-runs overwrite the same location
-    * instead of leaking a fresh temp copy of the input per invocation
-    * (Bench runs every query twice; Verify/Explain/specs run them again). */
-  private def scratch(name: String): String = {
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch", name)
-    java.nio.file.Files.createDirectories(d.getParent)
-    d.toString
-  }
+  private def scratch(name: String): String = graft.Scratch.dir(name)
 
   // ── q49: exact percentiles per group (`percentile` is the exact sort-
   //        based aggregate; a1 covers the approximate sketch twin) ────────
@@ -169,11 +161,10 @@ object Round3Queries {
       .agg(agg.name("topk"))
       .flatMap { case (prio, topk) =>
         topk.zipWithIndex.map { case ((price, key), i) =>
-          (prio, i + 1, key, price)
+          (prio, i + 1, key, price) // i + 1 is Int → rk lands as IntegerType
         }
       }
       .toDF("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
-      .withColumn("rk", col("rk").cast(IntegerType))
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
