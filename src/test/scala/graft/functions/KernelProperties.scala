@@ -103,4 +103,25 @@ object KernelProperties extends Properties("kernels") {
           status = rows >= minRows && nonnull && fresh)
         r.status == (r.rows >= minRows && r.nonnullOk && r.freshOk)
     }
+
+  // ── TopKAgg: any reduce/merge split equals the global sort truth ───────
+  private val rowGen = for {
+    s <- Gen.choose(-1000, 1000).map(_ / 7.0)
+    id <- Gen.choose(0L, 50L) // small id range forces score ties
+  } yield (s, id)
+
+  property("topk agg == sort-truth under any partitioning") =
+    forAll(Gen.listOf(rowGen), Gen.choose(1, 6), Gen.choose(1, 5)) {
+      (rows, k, nSplits) =>
+        val agg = new TopKAgg(k)
+        val expected = rows.sortBy { case (s, id) => (-s, id) }.take(k)
+        // split into nSplits partitions, reduce each, then merge — the
+        // result must not depend on how rows were partitioned
+        val parts = rows.grouped(math.max(1, (rows.size + nSplits - 1)
+          / nSplits)).toList
+        val merged = parts
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        agg.finish(merged) == expected
+    }
 }
