@@ -185,6 +185,27 @@ object Round3Queries {
       .orderBy(col("flag_name"))
   }
 
+  // ── q59: NOT IN vs NOT EXISTS under nulls — the three-valued-logic
+  //        corner: one NULL in the NOT IN subquery empties the result
+  //        (x <> NULL is never true), while NOT EXISTS keeps its rows.
+  //        Pinning both on one nullable subquery proves the engine honors
+  //        ANSI semantics rather than the intuitive-but-wrong reading. ───
+  def q59_not_in_null(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders WHERE o_totalprice > 150000)
+        |SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+        |    AS n_not_exists""".stripMargin)
+  }
+
   // ── p10: schema-evolution read — two batches written under drifting
   //        schemas (a column added mid-stream) merge back into one scan
   //        (`mergeSchema`), with nulls where the old batch lacks the new
@@ -401,6 +422,7 @@ object Round3Queries {
     "q56_variant"           -> (q56_variant _),
     "q57_topk_per_group"    -> (q57_topk_per_group _),
     "q58_salted_join"       -> (q58_salted_join _),
+    "q59_not_in_null"       -> (q59_not_in_null _),
     "p9_quarantine"         -> (p9_quarantine _),
     "p7_scd2"               -> (p7_scd2 _),
     "p8_partition_prune"    -> (p8_partition_prune _),
@@ -584,6 +606,17 @@ object Round3Queries {
         |SELECT o_orderpriority, rk, o_orderkey, o_totalprice
         |FROM ranked WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+    "q59_not_in_null" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders WHERE o_totalprice > 150000)
+        |SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+        |    AS n_not_exists""".stripMargin,
     "q58_salted_join" ->
       """SELECT CASE l_returnflag WHEN 'A' THEN 'returned'
         |       WHEN 'N' THEN 'active' ELSE 'refunded' END AS flag_name,
