@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.MoreQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
-      graft.queries.Round3Queries.queries
+      graft.queries.Round3Queries.queries ++
+      graft.queries.Round4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.MoreQueries.oracles ++
       graft.queries.ExtensionQueries.oracles ++
-      graft.queries.Round3Queries.oracles
+      graft.queries.Round3Queries.oracles ++
+      graft.queries.Round4Queries.oracles
 }

@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Fourth batch: the incremental-maintenance / storage-layout operators a
+  * warehouse engine runs continuously at scale — MERGE upsert, partial-
+  * aggregate merge (incremental view maintenance), small-file compaction,
+  * bloom-filter join pruning, Z-order clustering — plus the remaining
+  * analytic-dialect corners (linear interpolation, fixed-width histograms,
+  * gaps-and-islands, deterministic mode).
+  *
+  * Reference scope: the engine surface is `transform.sql`'s open DuckDB
+  * dialect (see /root/reference/tools.py:58-65); these queries extend the
+  * §2B dialect coverage plus the storage-maintenance operations the
+  * reference delegates to pandas/DuckDB in-memory (templates.py:79-108)
+  * but a 100 TB deployment must run as distributed jobs.
+  */
+object Round4Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column, scale: Int = 4) = c.cast(DecimalType(18, scale))
+  private def dsum(c: Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  private def scratch(name: String): String = graft.Scratch.dir(name)
+
+  // ── p12: small-file compaction — the maintenance job every streaming
+  //        ingest needs: N tiny files → ceil(bytes/target) right-sized
+  //        files. Correctness = content identity (oracle on the source
+  //        predicate); the file-count contract is pinned in
+  //        Round4QueriesSpec. At 100 TB the same job runs per partition
+  //        with `maxPartitionBytes`-sized tasks; nothing is collected. ───
+  def p12_compaction(s: SparkSession, dir: String): DataFrame = {
+    val smallDir = scratch("p12_small")
+    val compactDir = scratch("p12_compact")
+    val src = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" &&
+        col("l_shipdate") < "1996-01-01")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    // simulate the small-file problem a micro-batch ingest leaves behind
+    src.repartition(64).write.mode("overwrite").parquet(smallDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(smallDir))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val target = 32L * 1024 * 1024
+    val nFiles = math.max(1, ((bytes + target - 1) / target).toInt)
+    s.read.parquet(smallDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(compactDir)
+    s.read.parquet(compactDir)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  // ── p13: MERGE-style SCD Type-1 upsert — updates win over base rows by
+  //        key, unmatched updates insert. Expressed as one left-anti join
+  //        + union (a single shuffle pair on the merge key); the same plan
+  //        Delta/Iceberg MERGE compiles to for whole-partition rewrites.
+  //        Decimal price math keeps both engines bit-identical. ──────────
+  def p13_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val price24 = (c: Column) => c.cast(DecimalType(24, 4))
+    val base = ord.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        price24(dec(col("o_totalprice"), 2)).as("price"))
+    val upd = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        price24(dec(col("o_totalprice"), 2) *
+          lit(BigDecimal("1.05")).cast(DecimalType(4, 2))).as("price"))
+    val merged = upd.unionByName(
+      base.join(upd.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ── p14: incremental aggregate maintenance — merge yesterday's partial
+  //        aggregates with today's delta instead of recomputing history.
+  //        Decimal partials are associative, so merged == full recompute
+  //        exactly (the oracle IS the full recompute). At 100 TB this is
+  //        the difference between scanning one day and scanning years. ───
+  def p14_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      date_trunc("month", col("o_orderdate")).cast(DateType).as("month"),
+      col("o_orderdate"), col("o_totalprice"))
+    val cutoff = "1999-01-01"
+    def part(df: DataFrame) = df.groupBy(col("month"))
+      .agg(sum(dec(col("o_totalprice"), 2)).as("s"),
+        count(lit(1)).as("c"))
+    val history = part(o.filter(col("o_orderdate") < cutoff))
+    val delta = part(o.filter(col("o_orderdate") >= cutoff))
+    history.unionByName(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("s")).cast(DoubleType).as("total"),
+        sum(col("c")).cast(LongType).as("n"))
+      .orderBy(col("month"))
+  }
+
+  // ── p15: bloom-filter join pruning — build a bloom filter over the dim
+  //        keys, prune the fact scan before the exact semi join. The bloom
+  //        pass cuts the shuffled fact volume by ~(1 - selectivity); the
+  //        exact join only sees survivors, so the result is exact (false
+  //        positives are re-filtered). This is runtime filtering made
+  //        explicit — on a cluster the filter ships as a broadcast var,
+  //        never the dim rows themselves. ─────────────────────────────────
+  def p15_bloom_prune(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val nKeys = keys.count()
+    val bloom = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    t(s, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))
+      .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("rev"))
+  }
+
+  // ── q60: linear interpolation over a sparse daily series — gap-fill
+  //        with value estimates, not just carried-forward rows (q43 covers
+  //        step-fill). One calendar explode + one global-ordered window
+  //        over 365 rows (windowing happens AFTER aggregation, so the
+  //        single-partition sort is over days, never raw rows). ──────────
+  def q60_interpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .filter(col("o_custkey") % 100 === 7 &&
+        col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1996-01-01")
+      .groupBy(col("o_orderdate").cast(DateType).as("d"))
+      .agg(dsum(col("o_totalprice"), 2).as("r"))
+    val calendar = s.range(0, 365)
+      .select(date_add(to_date(lit("1995-01-01")), col("id").cast(IntegerType))
+        .as("d"))
+    val series = calendar.join(daily, Seq("d"), "left")
+    val before = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.orderBy(col("d"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("r"), ignoreNulls = true).over(before)
+    val pd = last(when(col("r").isNotNull, col("d")), ignoreNulls = true)
+      .over(before)
+    val nv = first(col("r"), ignoreNulls = true).over(after)
+    val nd = first(when(col("r").isNotNull, col("d")), ignoreNulls = true)
+      .over(after)
+    series
+      .withColumn("val",
+        when(col("r").isNotNull, round(col("r"), 6))
+          .otherwise(round(
+            pv + (nv - pv) *
+              (datediff(col("d"), pd).cast(DoubleType) /
+                datediff(nd, pd).cast(DoubleType)), 6)))
+      .withColumn("actual", col("r").isNotNull)
+      .filter(col("val").isNotNull)
+      .select(col("d"), col("val"), col("actual"))
+      .orderBy(col("d"))
+  }
+
+  // ── q61: fixed-width histogram — arithmetic binning (DuckDB has no
+  //        width_bucket; floor division is the portable spelling). One
+  //        map-side-combined aggregate; bucket count is constant, so the
+  //        reduce side is O(buckets) regardless of input size. ───────────
+  def q61_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(least(floor(col("l_extendedprice") / 10000), lit(9))
+        .cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  // ── q62: gaps-and-islands — maximal runs of consecutive urgent-order
+  //        days. The row_number subtraction trick groups consecutive dates
+  //        into islands; the global window runs over ≤2.4k distinct days
+  //        (post-distinct), not raw orders, so the single-partition sort
+  //        is bounded by the date range, not the data volume. ────────────
+  def q62_islands(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderdate").cast(DateType).as("d"))
+      .distinct()
+    val rn = row_number().over(Window.orderBy(col("d")))
+    days
+      .withColumn("grp", date_sub(col("d"), rn))
+      .groupBy(col("grp"))
+      .agg(min(col("d")).as("island_start"),
+        max(col("d")).as("island_end"),
+        count(lit(1)).as("len"))
+      .drop("grp")
+      .orderBy(col("island_start"))
+  }
+
+  // ── q63: deterministic mode — most frequent event_type per hour-of-day
+  //        with an explicit lexicographic tie-break (bare `mode()` is
+  //        engine-dependent on ties; argmax over (count, key) is total). ──
+  def q63_mode(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us",
+      timestamp_micros(expr("ts div 1000")))
+    val counts = ev
+      .groupBy(hour(col("ts_us")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("hr"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("hr").cast(IntegerType).as("hr"),
+        col("event_type").as("mode_type"), col("cnt"))
+      .orderBy(col("hr"))
+  }
+
+  /** Bit-interleave two 8-bit coordinates into a Morton (Z-order) code —
+    * the clustering key for multi-dimensional data layout: sorting by it
+    * keeps rows close in BOTH dimensions close on disk, so 2-D range
+    * predicates prune file-level min/max zones. Built from shiftleft/and
+    * primitives (codegen'd); the oracle recomputes the identical
+    * arithmetic. */
+  private[queries] def morton8(x: Column, y: Column): Column =
+    (0 until 8).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(
+          shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  // ── q64: Z-order clustering preview — the 20 lexically-first parts in
+  //        Morton space over (partkey mod 256, size). At 100 TB the same
+  //        expression is the `sortWithinPartitions` key of a clustered
+  //        write, turning 2-D filters into zone-map prunes. ──────────────
+  def q64_zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        morton8(col("p_partkey") % 256, col("p_size").cast(LongType))
+          .as("z"))
+      .orderBy(col("z"), col("p_partkey"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_compaction"      -> (p12_compaction _),
+    "p13_merge_upsert"    -> (p13_merge_upsert _),
+    "p14_incremental_agg" -> (p14_incremental_agg _),
+    "p15_bloom_prune"     -> (p15_bloom_prune _),
+    "q60_interpolate"     -> (q60_interpolate _),
+    "q61_histogram"       -> (q61_histogram _),
+    "q62_islands"         -> (q62_islands _),
+    "q63_mode"            -> (q63_mode _),
+    "q64_zorder"          -> (q64_zorder _))
+
+  private val mortonSql: String = (0 until 8).map { b =>
+    s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
+  }.mkString(" | ")
+
+  val oracles: Map[String, String] = Map(
+    "p12_compaction" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'""".stripMargin,
+    "p13_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))
+        |         AS DECIMAL(24,4)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p14_incremental_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p15_bloom_prune" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q60_interpolate" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        |  FROM orders
+        |  WHERE o_custkey % 100 = 7
+        |    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |  GROUP BY 1),
+        |calendar AS (
+        |  SELECT DATE '1995-01-01' + CAST(i AS INTEGER) AS d
+        |  FROM range(0, 365) t(i)),
+        |series AS (
+        |  SELECT c.d, daily.r FROM calendar c LEFT JOIN daily ON c.d = daily.d),
+        |win AS (
+        |  SELECT d, r,
+        |    last_value(r IGNORE NULLS) OVER
+        |      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN r IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        |    first_value(r IGNORE NULLS) OVER
+        |      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN r IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM series)
+        |SELECT d,
+        |  CASE WHEN r IS NOT NULL THEN ROUND(r, 6)
+        |       ELSE ROUND(pv + (nv - pv) *
+        |         (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)), 6) END AS val,
+        |  r IS NOT NULL AS actual
+        |FROM win
+        |WHERE (CASE WHEN r IS NOT NULL THEN ROUND(r, 6)
+        |       ELSE ROUND(pv + (nv - pv) *
+        |         (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)), 6) END)
+        |      IS NOT NULL
+        |ORDER BY d""".stripMargin,
+    "q61_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(l_extendedprice / 10000), 9) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |numbered AS (
+        |  SELECT d, d - CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS grp
+        |  FROM days)
+        |SELECT MIN(d) AS island_start, MAX(d) AS island_end, COUNT(*) AS len
+        |FROM numbered GROUP BY grp ORDER BY island_start""".stripMargin,
+    "q63_mode" ->
+      """WITH counts AS (
+        |  SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT hr, event_type, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY hr ORDER BY cnt DESC, event_type ASC) AS rk
+        |  FROM counts)
+        |SELECT hr, event_type AS mode_type, cnt
+        |FROM ranked WHERE rk = 1 ORDER BY hr""".stripMargin,
+    "q64_zorder" ->
+      s"""WITH xy AS (
+         |  SELECT p_partkey, p_size,
+         |    p_partkey % 256 AS x, CAST(p_size AS BIGINT) AS y
+         |  FROM part)
+         |SELECT p_partkey, p_size, ($mortonSql) AS z
+         |FROM xy ORDER BY z, p_partkey LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic invariants of the round-4 operators — the contracts the
+  * row-hash oracle can't express (file-count layout, pruning supersets,
+  * bit-interleave laws, island maximality, interpolation bounds).
+  */
+class Round4QueriesSpec extends SparkSpec {
+
+  test("compaction rewrites many small files into few right-sized ones") {
+    Round4Queries.p12_compaction(spark, sf).collect()
+    def parts(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.length > 0)
+    val small = parts(graft.Scratch.dir("p12_small"))
+    val compact = parts(graft.Scratch.dir("p12_compact"))
+    assert(small == 64, s"ingest simulation must leave 64 files, got $small")
+    // at sf0.001 the whole slice is well under one 32 MB target file
+    assert(compact < small && compact >= 1,
+      s"compaction must reduce the file count (got $compact from $small)")
+  }
+
+  test("merge upsert: updates win, inserts land, untouched rows survive") {
+    import spark.implicits._
+    val out = Round4Queries.p13_merge_upsert(spark, sf)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nBase = orders.filter($"o_orderkey" % 3 =!= 0).count()
+    val nUpd = orders.filter($"o_orderkey" % 2 === 0).count()
+    val nOverlap = orders
+      .filter($"o_orderkey" % 3 =!= 0 && $"o_orderkey" % 2 === 0).count()
+    val total = out.agg(sum($"n")).collect()(0).getLong(0)
+    assert(total == nBase + nUpd - nOverlap,
+      "merged cardinality = base + inserts (updates replace, not add)")
+    // every updated key carries status 'U': the U bucket holds all updates
+    val uRows = out.filter($"o_orderstatus" === "U")
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(uRows == nUpd, "update rows must all surface with the new status")
+  }
+
+  test("incremental aggregate merge equals the full recompute") {
+    import spark.implicits._
+    val merged = Round4Queries.p14_incremental_agg(spark, sf)
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+        .as("total"), count(lit(1)).as("n"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "partial-aggregate merge must be exact, not approximate")
+  }
+
+  test("bloom pruning keeps a superset of true matches before the join") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val nKeys = keys.count()
+    val bloom = keys.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val trueMatches = li.join(keys, $"l_orderkey" === $"o_orderkey",
+      "left_semi").count()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf((k: Long) => bc.value.mightContainLong(k))
+    val pruned = li.filter(mc($"l_orderkey")).count()
+    assert(pruned >= trueMatches, "bloom filter must never drop a true match")
+    assert(pruned <= li.count(), "pruning is a filter, not an expansion")
+    val out = Round4Queries.p15_bloom_prune(spark, sf).collect()(0)
+    assert(out.getLong(0) == trueMatches,
+      "false positives must be re-filtered by the exact join")
+  }
+
+  test("interpolated values sit within the bracketing actuals") {
+    import spark.implicits._
+    val rows = Round4Queries.q60_interpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // interpolated points lie within [min, max] of the actual series
+    val actuals = rows.filter(_.getBoolean(2)).map(_.getDouble(1))
+    val lo = actuals.min
+    val hi = actuals.max
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      val v = r.getDouble(1)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+        s"linear interpolation cannot overshoot the envelope: $v")
+    }
+    // the series is dense: consecutive dates differ by one day
+    val ds = rows.map(_.getDate(0).toLocalDate)
+    ds.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) == 1,
+        "gap-filled series must be contiguous")
+    }
+  }
+
+  test("histogram buckets partition all rows exactly once") {
+    import spark.implicits._
+    val h = Round4Queries.q61_histogram(spark, sf).collect()
+    val total = h.map(_.getLong(1)).sum
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total == li, "histogram must conserve the row count")
+    assert(h.map(_.getInt(0)).forall(b => b >= 0 && b <= 9))
+  }
+
+  test("islands are maximal: no two islands touch, lengths match spans") {
+    val isl = Round4Queries.q62_islands(spark, sf).collect()
+    isl.foreach { r =>
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      assert(span + 1 == r.getLong(2),
+        "island length must equal its inclusive day span")
+    }
+    isl.sliding(2).foreach {
+      case Array(a, b) =>
+        val gap = java.time.temporal.ChronoUnit.DAYS.between(
+          a.getDate(1).toLocalDate, b.getDate(0).toLocalDate)
+        assert(gap >= 2, "adjacent islands must be separated by a gap")
+      case _ =>
+    }
+  }
+
+  test("morton interleave is monotone in each coordinate and invertible") {
+    import spark.implicits._
+    // exhaustive inverse check over the full 8-bit × 8-bit domain
+    val dom = spark.range(0, 256L * 256)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val z = Round4Queries.q64_zorder(spark, sf) // touch the query itself
+    assert(z.count() == 20)
+    val codes = dom.select($"x", $"y",
+        Round4Queries.morton8($"x", $"y").as("z"))
+      .collect()
+    assert(codes.map(_.getLong(2)).distinct.length == 256 * 256,
+      "morton must be a bijection on the domain")
+    codes.foreach { r =>
+      val (x, y, zz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // de-interleave and compare
+      var xi = 0L; var yi = 0L
+      (0 until 8).foreach { b =>
+        xi |= ((zz >> (2 * b)) & 1L) << b
+        yi |= ((zz >> (2 * b + 1)) & 1L) << b
+      }
+      assert(xi == x && yi == y, s"de-interleave must invert: ($x,$y) -> $zz")
+    }
+  }
+}
