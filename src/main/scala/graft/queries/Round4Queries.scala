@@ -245,6 +245,76 @@ object Round4Queries {
       .orderBy(col("z"), col("p_partkey"))
       .limit(20)
 
+  // ── t9: trigram language-model scoring — per-document average log
+  //        P(w3 | w1 w2) under the corpus's own trigram statistics, the
+  //        perplexity-style fluency signal training-data pipelines use to
+  //        rank text. Two count dictionaries (trigram, bigram-prefix) built
+  //        in one pass over the native codegen'd shingle expression; the
+  //        dictionaries join back on hashed keys, so at 100 TB both sides
+  //        shuffle-partition by n-gram and nothing is collected. ─────────
+  def t9_trigram_lm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val withSh = t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.shingles(col("text"), 3).as("t3"),
+      Text.shingles(col("text"), 2).as("t2"))
+    val pairs = withSh
+      .select(col("doc_id"), col("t3"),
+        slice(col("t2"), lit(1), size(col("t3"))).as("pfx"))
+      .select(col("doc_id"), explode(arrays_zip(col("t3"), col("pfx"))).as("p"))
+      .select(col("doc_id"), col("p.t3").as("tri"), col("p.pfx").as("bi"))
+    val c3 = pairs.groupBy(col("tri")).agg(count(lit(1)).as("cnt3"))
+    val c2 = withSh.select(explode(col("t2")).as("bi"))
+      .groupBy(col("bi")).agg(count(lit(1)).as("cnt2"))
+    pairs.join(c3, "tri").join(c2, "bi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        round(avg(log(col("cnt3").cast(DoubleType) /
+          col("cnt2").cast(DoubleType))), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── t10: lexical diversity — type/token ratio + hapax legomena count,
+  //        the vocabulary-richness quality signal. One shuffle on
+  //        (doc_id, word), partial counts map-side combined. ─────────────
+  def t10_ttr(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"),
+        round(count(lit(1)).cast(DoubleType) /
+          sum(col("cnt")).cast(DoubleType), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── d10: passage-level dedup — per-document share of 8-word shingles
+  //        that also occur in ANOTHER document (the RefinedWeb-style
+  //        "duplicated passage" signal; doc-level dedup d1-d9 misses
+  //        partial copies). Distinct shingles per doc, then one shuffle
+  //        keyed by shingle: each bucket's size IS the doc frequency —
+  //        no pairwise comparison, so cost is O(total shingles), not
+  //        O(docs²). ───────────────────────────────────────────────────
+  def d10_passage_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+    sh.join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("ndocs") >= 2, 1)).as("n_shared"),
+        round(count(when(col("ndocs") >= 2, 1)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("shared_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p12_compaction"      -> (p12_compaction _),
     "p13_merge_upsert"    -> (p13_merge_upsert _),
@@ -254,7 +324,10 @@ object Round4Queries {
     "q61_histogram"       -> (q61_histogram _),
     "q62_islands"         -> (q62_islands _),
     "q63_mode"            -> (q63_mode _),
-    "q64_zorder"          -> (q64_zorder _))
+    "q64_zorder"          -> (q64_zorder _),
+    "t9_trigram_lm"       -> (t9_trigram_lm _),
+    "t10_ttr"             -> (t10_ttr _),
+    "d10_passage_dedup"   -> (d10_passage_dedup _))
 
   private val mortonSql: String = (0 until 8).map { b =>
     s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
@@ -361,5 +434,55 @@ object Round4Queries {
          |    p_partkey % 256 AS x, CAST(p_size AS BIGINT) AS y
          |  FROM part)
          |SELECT p_partkey, p_size, ($mortonSql) AS z
-         |FROM xy ORDER BY z, p_partkey LIMIT 20""".stripMargin)
+         |FROM xy ORDER BY z, p_partkey LIMIT 20""".stripMargin,
+    "t9_trigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, pos, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tok),
+        |tri AS (
+        |  SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS tri, w || ' ' || w2 AS bi
+        |  FROM seq WHERE w3 IS NOT NULL),
+        |big AS (SELECT w || ' ' || w2 AS bi FROM seq WHERE w2 IS NOT NULL),
+        |c3 AS (SELECT tri, COUNT(*) AS cnt3 FROM tri GROUP BY 1),
+        |c2 AS (SELECT bi, COUNT(*) AS cnt2 FROM big GROUP BY 1)
+        |SELECT t.doc_id, COUNT(*) AS n_tri,
+        |  ROUND(AVG(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))), 6) AS lm_score
+        |FROM tri t JOIN c3 ON t.tri = c3.tri JOIN c2 ON t.bi = c2.bi
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t10_ttr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |per_word AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr
+        |FROM per_word GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d10_passage_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS L
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, L, unnest(range(1, len(L) - 6)) AS i
+        |  FROM base WHERE len(L) >= 8),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(L[i:i+7], ' ') AS sh
+        |  FROM idx),
+        |df AS (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY 1)
+        |SELECT s.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS n_shared,
+        |  ROUND(CAST(COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE) /
+        |        CAST(COUNT(*) AS DOUBLE), 6) AS shared_ratio
+        |FROM sh s JOIN df ON s.sh = df.sh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
 }

@@ -116,6 +116,53 @@ class Round4QueriesSpec extends SparkSpec {
     }
   }
 
+  test("trigram LM scores are log-probabilities: never positive") {
+    import spark.implicits._
+    val lm = Round4Queries.t9_trigram_lm(spark, sf).collect()
+    assert(lm.nonEmpty)
+    lm.foreach { r =>
+      assert(r.getDouble(2) <= 1e-9,
+        s"ln(c3/c2) with c3 <= c2 must be <= 0: ${r.getDouble(2)}")
+      assert(r.getLong(1) > 0)
+    }
+    // each doc's trigram count is tokens - 2
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lm.foreach { r =>
+      assert(r.getLong(1) == toks(r.getLong(0)) - 2,
+        "every trigram position must be scored exactly once")
+    }
+  }
+
+  test("type-token ratio is bounded and hapax counts are consistent") {
+    val t = Round4Queries.t10_ttr(spark, sf).collect()
+    t.foreach { r =>
+      val (tokens, types, hapax, ttr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(types <= tokens && hapax <= types)
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+  }
+
+  test("passage dedup flags the near-duplicate documents, not the rest") {
+    import spark.implicits._
+    val d = Round4Queries.d10_passage_dedup(spark, sf).cache()
+    try {
+      d.collect().foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1),
+          "shared shingles are a subset of all shingles")
+      }
+      // the corpus ships with near-duplicate pairs: someone must share
+      assert(d.filter($"n_shared" > 0).count() > 0,
+        "near-dup documents must surface shared passages")
+      // sharing is symmetric: a shingle flagged shared for one doc is
+      // flagged for every doc holding it, so shared docs come in groups >= 2
+      val sharers = d.filter($"n_shared" > 0).count()
+      assert(sharers >= 2, "a shared passage needs at least two holders")
+    } finally d.unpersist()
+  }
+
   test("morton interleave is monotone in each coordinate and invertible") {
     import spark.implicits._
     // exhaustive inverse check over the full 8-bit × 8-bit domain
