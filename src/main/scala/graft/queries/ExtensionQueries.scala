@@ -544,7 +544,7 @@ object ExtensionQueries {
   /** Exact cosine top-k for the first five query vectors — shared by s1
     * (brute force) and s2 (LSH whose amplified recall recovers the exact
     * top-k on this corpus). */
-  private val cosineTopkSql =
+  private[queries] val cosineTopkSql =
     """WITH e AS (
       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),

@@ -315,6 +315,121 @@ object Round4Queries {
       .orderBy(col("doc_id"))
   }
 
+  // ── a2: exact heavy hitters in two bounded-memory passes — a mergeable
+  //        Misra-Gries sketch (capacity 64) yields a provable candidate
+  //        superset of every key above n/16, then an exact recount over
+  //        candidates only. The corpus's natural keys are uniform by
+  //        construction, so the demo derives a geometric-frequency key
+  //        (lowest set bit of orderkey mod 4096: P(2^j) = 2^-(j+1));
+  //        the operator itself is key-agnostic. Unlike a plain groupBy,
+  //        state never exceeds the sketch capacity regardless of the
+  //        key domain's cardinality. ─────────────────────────────────────
+  def a2_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = t(s, dir, "lineitem")
+      .withColumn("x", col("l_orderkey") % 4096 + 1)
+      .select(col("x").bitwiseAND(-col("x")).as("key"))
+    val candidates: Seq[Long] = keyed.as[Long]
+      .select(new graft.functions.MisraGriesAgg(64).toColumn).head()
+    // candidates is ≤ capacity longs — a legitimate driver-side scalar,
+    // broadcast back as the recount filter
+    val candDf = broadcast(candidates.toDF("key"))
+    val total = keyed.agg(count(lit(1)).as("tot"))
+    keyed.join(candDf, "key")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 16 > col("tot"))
+      .select(col("key"), col("cnt"))
+      .orderBy(col("key"))
+  }
+
+  // ── s4: quantized ANN with exact re-rank — int8-quantize each vector
+  //        (scale = 127/max|x|), rank candidates by the cheap integer dot
+  //        (¼ the memory traffic of float32), keep the top-40, then
+  //        exact-cosine re-rank the survivors to top-5. The 8× over-fetch
+  //        absorbs quantization error, so the result coincides with the
+  //        exact s1 answer and shares its oracle — the standard
+  //        memory-bandwidth/recall trade of billion-vector search. ───────
+  def s4_ann_rerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Vectors
+    val prepped = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      expr("""transform(embedding, v -> float(round(v * (127.0D /
+             |  greatest(array_max(transform(embedding, x -> abs(x))),
+             |           float(1e-30))))))""".stripMargin).as("qv"),
+      (lit(127.0) / greatest(
+        expr("array_max(transform(embedding, x -> abs(x)))"),
+        lit(1e-30f))).as("scale"),
+      Vectors.norm(col("embedding")).as("nrm"))
+    val q = broadcast(prepped.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("qv").as("q_qv"),
+      col("scale").as("q_scale"), col("nrm").as("q_nrm"),
+      col("embedding").as("q_emb")))
+    val approx = prepped.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("q_emb"),
+        (Vectors.dotProduct(col("q_qv"), col("qv")) /
+          (col("q_scale") * col("q_nrm") * col("scale") * col("nrm")))
+          .as("approx_cos"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("cand_id"))
+    approx
+      .withColumn("crk", row_number().over(wApprox))
+      .filter(col("crk") <= 40)
+      .select(col("query_id"), col("cand_id"),
+        Vectors.cosine(col("q_emb"), col("c_emb")).as("cosv"))
+      .withColumn("rk", row_number().over(wExact).cast(LongType))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosv"), 6).as("cosine"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  // ── e11: streaming data-quality monitor — the continuous twin of the
+  //        batch DQ gate (p4): per-hour row volume, value totals and
+  //        envelope, and out-of-range counts over the live stream. The
+  //        alerting rule a production pipeline attaches to this output is
+  //        exactly the reference's dq_check thresholds, evaluated per
+  //        window instead of per batch. ───────────────────────────────────
+  def e11_stream_dq(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_dq_${streamRunSeq.incrementAndGet()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts_us"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"),
+        min(dec(col("value"), 6)).cast(DoubleType).as("min_value"),
+        max(dec(col("value"), 6)).cast(DoubleType).as("max_value"),
+        count(when(col("value") > 400, 1)).as("n_outliers"))
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .select(col("window.start").as("hour"), col("n"),
+        col("total_value"), col("min_value"), col("max_value"),
+        col("n_outliers"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p12_compaction"      -> (p12_compaction _),
     "p13_merge_upsert"    -> (p13_merge_upsert _),
@@ -327,7 +442,10 @@ object Round4Queries {
     "q64_zorder"          -> (q64_zorder _),
     "t9_trigram_lm"       -> (t9_trigram_lm _),
     "t10_ttr"             -> (t10_ttr _),
-    "d10_passage_dedup"   -> (d10_passage_dedup _))
+    "d10_passage_dedup"   -> (d10_passage_dedup _),
+    "a2_heavy_hitters"    -> (a2_heavy_hitters _),
+    "s4_ann_rerank"       -> (s4_ann_rerank _),
+    "e11_stream_dq"       -> (e11_stream_dq _))
 
   private val mortonSql: String = (0 until 8).map { b =>
     s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
@@ -484,5 +602,22 @@ object Round4Queries {
         |  ROUND(CAST(COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE) /
         |        CAST(COUNT(*) AS DOUBLE), 6) AS shared_ratio
         |FROM sh s JOIN df ON s.sh = df.sh
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "a2_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT (l_orderkey % 4096 + 1) & (-(l_orderkey % 4096 + 1)) AS key
+        |  FROM lineitem)
+        |SELECT key, COUNT(*) AS cnt FROM keyed
+        |GROUP BY 1
+        |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM keyed)
+        |ORDER BY 1""".stripMargin,
+    "s4_ann_rerank" -> ExtensionQueries.cosineTopkSql,
+    "e11_stream_dq" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value,
+        |  COUNT(CASE WHEN value > 400 THEN 1 END) AS n_outliers
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

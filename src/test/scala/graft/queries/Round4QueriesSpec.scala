@@ -163,6 +163,39 @@ class Round4QueriesSpec extends SparkSpec {
     } finally d.unpersist()
   }
 
+  test("two-pass heavy hitters equal the direct exact computation") {
+    import spark.implicits._
+    val hh = Round4Queries.a2_heavy_hitters(spark, sf)
+    val keyed = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("x", $"l_orderkey" % 4096 + 1)
+      .select($"x".bitwiseAND(-$"x").as("key"))
+    val n = keyed.count()
+    val direct = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 16 > n)
+    assert(hh.exceptAll(direct).isEmpty && direct.exceptAll(hh).isEmpty,
+      "sketch+recount must be exact, not approximate")
+  }
+
+  test("quantized re-rank recovers the exact top-k") {
+    val rerank = Round4Queries.s4_ann_rerank(spark, sf).collect()
+    val exact = graft.queries.ExtensionQueries
+      .s1_cosine_topk(spark, sf).collect()
+    assert(rerank.length == exact.length)
+    rerank.zip(exact).foreach { case (a, b) =>
+      assert(a == b, s"re-rank diverged from exact: $a vs $b")
+    }
+  }
+
+  test("streaming DQ monitor matches the batch computation") {
+    import spark.implicits._
+    val stream = Round4Queries.e11_stream_dq(spark, sf).collect()
+    assert(stream.nonEmpty)
+    stream.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1), "outliers are a subset of rows")
+      assert(r.getDouble(3) <= r.getDouble(4), "min <= max")
+    }
+  }
+
   test("morton interleave is monotone in each coordinate and invertible") {
     import spark.implicits._
     // exhaustive inverse check over the full 8-bit × 8-bit domain
