@@ -51,9 +51,39 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
     jaccardScore(
-      sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id")),
+      sh.as("a").join(candidatePairs(sh, threshold),
+          col("a.id") === col("id_a"))
+        .join(sh.as("b"),
+          col("b.id") === col("id_b") && col("a.sh") === col("b.sh")),
       threshold)
+  }
+
+  /** Exact prefix-filtered candidate pairs (Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07): under any global total order
+    * on shingles, two sets with Jaccard ≥ t must share an element among
+    * each set's first |s| − ⌈t·|s|⌉ + 1 elements — because J ≥ t forces
+    * overlap ≥ ⌈t·|s|⌉ on both sides, and a set whose first
+    * |s| − ⌈t·|s|⌉ + 1 elements are all non-shared has fewer than ⌈t·|s|⌉
+    * elements left to share. Ordering by ascending document frequency
+    * (rarest first) makes the prefixes maximally discriminative: the
+    * ubiquitous shingles that drive the Σ|posting|² candidate blow-up on
+    * low-entropy corpora never enter the candidate join at all. The
+    * filter is lossless — dropped pairs provably sit below threshold —
+    * so the verified result stays exact. */
+  private def candidatePairs(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df0"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df0"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select(col("id"), col("sh"))
+    prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
   }
 
   /** Group pair-candidate shingle matches into exact Jaccard scores. */

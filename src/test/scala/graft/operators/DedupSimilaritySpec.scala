@@ -38,6 +38,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.find(p => p._1 == 4L && p._2 == 5L).get._3 == 1.0) // identical
   }
 
+  test("prefix filtering is lossless: equals the naive all-pairs join") {
+    import org.apache.spark.sql.functions._
+    // naive quadratic-candidate version (the pre-optimization semantics)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs
+      .select(col("doc_id").as("id"),
+        array_distinct(graft.functions.Text.shingles(col("text"), 3))
+          .as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("sh0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+    val joined = sh.as("a").join(sh.as("b"),
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    val naive = joined
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val filtered = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+    assert(filtered.exceptAll(naive).isEmpty &&
+      naive.exceptAll(filtered).isEmpty,
+      "prefix filter must drop only sub-threshold pairs")
+  }
+
   test("minhash LSH recovers what exact jaccard finds (on planted dups)") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
