@@ -315,6 +315,30 @@ object Round4Queries {
       .orderBy(col("doc_id"))
   }
 
+  // ── p16: Z-order clustered layout — write the table range-partitioned
+  //        and sorted by the Morton key, then answer a 2-D box predicate
+  //        from the clustered copy. Because Z-order keeps both coordinates
+  //        locally bounded within every file/row-group, the box predicate
+  //        prunes at the parquet-statistics level (PushedFilters row-group
+  //        skipping; Round4QueriesSpec reads the footers and proves most
+  //        zones cannot match). This is the layout maintenance job that
+  //        turns 2-D scans into zone reads at 100 TB. ────────────────────
+  def p16_zorder_layout(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("p16_zsorted")
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
+        (col("p_partkey") % 256).as("x"),
+        morton8(col("p_partkey") % 256, col("p_size").cast(LongType))
+          .as("z"))
+      .repartitionByRange(4, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("x").between(32, 63) && col("p_size").between(10, 20))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("p_retailprice"), 2).as("sum_price"))
+  }
+
   // ── a2: exact heavy hitters in two bounded-memory passes — a mergeable
   //        Misra-Gries sketch (capacity 64) yields a provable candidate
   //        superset of every key above n/16, then an exact recount over
@@ -443,6 +467,7 @@ object Round4Queries {
     "t9_trigram_lm"       -> (t9_trigram_lm _),
     "t10_ttr"             -> (t10_ttr _),
     "d10_passage_dedup"   -> (d10_passage_dedup _),
+    "p16_zorder_layout"   -> (p16_zorder_layout _),
     "a2_heavy_hitters"    -> (a2_heavy_hitters _),
     "s4_ann_rerank"       -> (s4_ann_rerank _),
     "e11_stream_dq"       -> (e11_stream_dq _))
@@ -603,6 +628,12 @@ object Round4Queries {
         |        CAST(COUNT(*) AS DOUBLE), 6) AS shared_ratio
         |FROM sh s JOIN df ON s.sh = df.sh
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "p16_zorder_layout" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |WHERE (p_partkey % 256) BETWEEN 32 AND 63
+        |  AND p_size BETWEEN 10 AND 20""".stripMargin,
     "a2_heavy_hitters" ->
       """WITH keyed AS (
         |  SELECT (l_orderkey % 4096 + 1) & (-(l_orderkey % 4096 + 1)) AS key

@@ -1,5 +1,6 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -161,6 +162,41 @@ class Round4QueriesSpec extends SparkSpec {
       val sharers = d.filter($"n_shared" > 0).count()
       assert(sharers >= 2, "a shared passage needs at least two holders")
     } finally d.unpersist()
+  }
+
+  test("z-ordered layout: most zones provably cannot match the box query") {
+    Round4Queries.p16_zorder_layout(spark, sf).collect()
+    // read parquet footers: per row group, [min,max] of x and p_size
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirF = new java.io.File(graft.Scratch.dir("p16_zsorted"))
+    val files = dirF.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3, "range partitioning must spread the data")
+    var total = 0
+    var overlapping = 0
+    files.foreach { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try rd.getFooter.getBlocks.forEach { b =>
+        total += 1
+        def range(colName: String): (Long, Long) = {
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == colName).get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue)
+        }
+        val (xlo, xhi) = range("x")
+        val (slo, shi) = range("p_size")
+        if (xhi >= 32 && xlo <= 63 && shi >= 10 && slo <= 20) overlapping += 1
+      } finally rd.close()
+    }
+    assert(total >= 3)
+    assert(overlapping < total,
+      s"z-clustering must let zone stats exclude some row groups " +
+        s"($overlapping/$total overlap the box)")
   }
 
   test("two-pass heavy hitters equal the direct exact computation") {
