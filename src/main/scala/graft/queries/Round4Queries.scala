@@ -117,8 +117,10 @@ object Round4Queries {
     val keys = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val nKeys = keys.count()
-    val bloom = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+    // sized by a generous constant bound rather than a counting pass: the
+    // exact semi join re-filters false positives, so over-sizing only
+    // lowers the FP rate while saving one full scan of the dim side
+    val bloom = keys.stat.bloomFilter("o_orderkey", 1L << 20, 0.01)
     val bc = s.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     t(s, dir, "lineitem")
@@ -355,15 +357,19 @@ object Round4Queries {
       .select(col("x").bitwiseAND(-col("x")).as("key"))
     val candidates: Seq[Long] = keyed.as[Long]
       .select(new graft.functions.MisraGriesAgg(64).toColumn).head()
-    // candidates is ≤ capacity longs — a legitimate driver-side scalar,
-    // broadcast back as the recount filter
-    val candDf = broadcast(candidates.toDF("key"))
-    val total = keyed.agg(count(lit(1)).as("tot"))
-    keyed.join(candDf, "key")
-      .groupBy(col("key"))
+    // candidates is ≤ capacity longs — a legitimate driver-side scalar.
+    // The recount pass folds non-candidates into one catch-all bucket
+    // (-1: keys are powers of two, so it cannot collide), so the same
+    // single scan yields both the candidate counts and the grand total —
+    // two passes over the data in total, exactly as advertised.
+    val masked = keyed
+      .groupBy(when(col("key").isin(candidates: _*), col("key"))
+        .otherwise(lit(-1L)).as("key"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * 16 > col("tot"))
+    masked
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy())) // ≤ capacity+1 rows
+      .filter(col("key") =!= -1L && col("cnt") * 16 > col("tot"))
       .select(col("key"), col("cnt"))
       .orderBy(col("key"))
   }
