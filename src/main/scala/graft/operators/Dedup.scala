@@ -79,19 +79,53 @@ object Dedup {
     * filter is lossless — dropped pairs provably sit below threshold —
     * so the verified result stays exact. */
   private def candidatePairs(sh: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df0"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df0"), col("sh"))
-    val prefix = sh.join(freq, "sh")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <=
-        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
-      .select(col("id"), col("sh"))
+    val prefix = rankedPrefix(sh, threshold)
     prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
+
+  /** Each document's |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles — the
+    * prefix that any ≥t-similar partner must intersect. */
+  private def rankedPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df0"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df0"), col("sh"))
+    sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select(col("id"), col("sh"))
+  }
+
+  /** Directional n-gram containment: pairs (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ t — "a is mostly inside
+    * b", the near-superset signal Jaccard misses when sizes differ (a
+    * quote, a mirrored section, a doc embedded in a larger one). Candidate
+    * generation prefix-filters only the contained side: the overlap
+    * requirement is ⌈t·|a|⌉ independent of |b|, so a's
+    * |a| − ⌈t·|a|⌉ + 1 rarest shingles must hit SOME shingle of b (b's
+    * side stays a full posting list — its size never relaxes the bound).
+    * Exact verification over full shingle sets follows, as in
+    * [[ngramJaccard]]. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint()
+    val candidates = rankedPrefix(sh, threshold).as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = sh.as("a").join(candidates, col("a.id") === col("id_a"))
+      .join(sh.as("b"),
+        col("b.id") === col("id_b") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b"), col("a.n_sh").as("na"))
+      .agg(count(lit(1)).as("inter"))
+    val containment = col("inter").cast(DoubleType) / col("na").cast(DoubleType)
+    inter.filter(containment >= threshold)
+      .select(col("id_a"), col("id_b"), round(containment, 6).as("containment"))
   }
 
   /** Group pair-candidate shingle matches into exact Jaccard scores. */

@@ -341,6 +341,34 @@ object Round4Queries {
         dsum(col("p_retailprice"), 2).as("sum_price"))
   }
 
+  // ── d11: directional containment dedup — near-superset pairs the
+  //        symmetric Jaccard (d2) under-scores when document sizes differ.
+  //        Candidate prefix filter applies to the contained side only
+  //        (the overlap bound ⌈t·|a|⌉ never depends on |b|). ─────────────
+  def d11_containment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramContainment(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ── p17: CDC apply — collapse a keyed change stream (latest-wins with
+  //        delete tombstones) into current state, then account for it.
+  //        One window shuffle on the key; at 100 TB the same plan applies
+  //        a day's change log to a snapshot without touching history. ────
+  def p17_cdc_apply(s: SparkSession, dir: String): DataFrame = {
+    val ops = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"),
+      when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ops.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"),
+        dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ── a2: exact heavy hitters in two bounded-memory passes — a mergeable
   //        Misra-Gries sketch (capacity 64) yields a provable candidate
   //        superset of every key above n/16, then an exact recount over
@@ -474,6 +502,8 @@ object Round4Queries {
     "t10_ttr"             -> (t10_ttr _),
     "d10_passage_dedup"   -> (d10_passage_dedup _),
     "p16_zorder_layout"   -> (p16_zorder_layout _),
+    "p17_cdc_apply"       -> (p17_cdc_apply _),
+    "d11_containment"     -> (d11_containment _),
     "a2_heavy_hitters"    -> (a2_heavy_hitters _),
     "s4_ann_rerank"       -> (s4_ann_rerank _),
     "e11_stream_dq"       -> (e11_stream_dq _))
@@ -640,6 +670,43 @@ object Round4Queries {
         |FROM part
         |WHERE (p_partkey % 256) BETWEEN 32 AND 63
         |  AND p_size BETWEEN 10 AND 20""".stripMargin,
+    "d11_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, pos, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tok),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS s
+        |  FROM seq WHERE w3 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(o AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment
+        |FROM inter JOIN sizes na ON na.doc_id = id_a
+        |WHERE CAST(o AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "p17_cdc_apply" ->
+      """WITH ops AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM ops)
+        |SELECT o_orderpriority, COUNT(*) AS n_live,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM latest WHERE rk = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a2_heavy_hitters" ->
       """WITH keyed AS (
         |  SELECT (l_orderkey % 4096 + 1) & (-(l_orderkey % 4096 + 1)) AS key

@@ -199,6 +199,46 @@ class Round4QueriesSpec extends SparkSpec {
         s"($overlapping/$total overlap the box)")
   }
 
+  test("containment: asymmetric prefix filter is lossless vs naive join") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs
+      .select($"doc_id".as("id"),
+        array_distinct(graft.functions.Text.shingles($"text", 3)).as("shs"))
+      .select($"id", size($"shs").as("n_sh"), explode($"shs").as("sh0"))
+      .select($"id", $"n_sh", xxhash64($"sh0").as("sh"))
+    val naive = sh.as("a")
+      .join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.id" =!= $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.n_sh".as("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter($"inter".cast("double") / $"na".cast("double") >= 0.8)
+      .select($"id_a", $"id_b")
+    val filtered = Round4Queries.d11_containment(spark, sf)
+      .select($"id_a", $"id_b")
+    assert(filtered.exceptAll(naive).isEmpty &&
+      naive.exceptAll(filtered).isEmpty,
+      "contained-side prefix filter must drop only sub-threshold pairs")
+    // containment is directional: scores live in [0.8, 1]
+    Round4Queries.d11_containment(spark, sf).collect().foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.8 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("CDC apply: live state equals customers whose last change survives") {
+    import spark.implicits._
+    val out = Round4Queries.p17_cdc_apply(spark, sf)
+    val live = out.agg(sum($"n_live")).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .filter($"o_orderkey" % 10 =!= 0).count()
+    assert(live == expected,
+      "every key must end live or tombstoned, nothing dropped or doubled")
+  }
+
   test("two-pass heavy hitters equal the direct exact computation") {
     import spark.implicits._
     val hh = Round4Queries.a2_heavy_hitters(spark, sf)
