@@ -85,4 +85,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("prefix-filtered jaccard joins stay equi-joins end to end") {
+    val p = executedPlan("d2_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "candidate generation and verification must both join on keys")
+  }
+
+  test("CDC apply collapses state in one key shuffle plus the final agg") {
+    val p = executedPlan("p17_cdc_apply").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2,
+      s"one (o_custkey) window shuffle + one tiny priority agg; got " +
+        s"$hashExchanges hash exchanges:\n$p")
+  }
+
+  test("incremental aggregate merge pushes partial aggregation map-side") {
+    val p = executedPlan("p14_incremental_agg")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("heavy-hitter recount keeps the one-row total out of a shuffle") {
+    val p = executedPlan("a2_heavy_hitters")
+    // the catch-all-bucket recount must stay a single aggregation tree —
+    // no join back for the total, no nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("trigram LM dictionaries join by n-gram key, never pairwise") {
+    val p = executedPlan("t9_trigram_lm")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
 }
