@@ -369,6 +369,32 @@ object Round4Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ── p18: bucketed co-located join — write both sides bucketed+sorted on
+  //        the join key, then join the bucketed tables. On matched
+  //        bucketing the join needs NO exchange (BucketingSpec pins the
+  //        zero-Exchange plan under a disabled broadcast threshold); this
+  //        query runs the same layout through the oracle gate. At 100 TB
+  //        this is the difference between shuffling the fact table on
+  //        every join and shuffling it once at write time. ───────────────
+  def p18_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .option("path", scratch("p18_li"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("p18_li_bucketed")
+    t(s, dir, "orders").write.mode("overwrite")
+      .option("path", scratch("p18_o"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("p18_o_bucketed")
+    s.table("p18_li_bucketed")
+      .join(s.table("p18_o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ── a2: exact heavy hitters in two bounded-memory passes — a mergeable
   //        Misra-Gries sketch (capacity 64) yields a provable candidate
   //        superset of every key above n/16, then an exact recount over
@@ -503,6 +529,7 @@ object Round4Queries {
     "d10_passage_dedup"   -> (d10_passage_dedup _),
     "p16_zorder_layout"   -> (p16_zorder_layout _),
     "p17_cdc_apply"       -> (p17_cdc_apply _),
+    "p18_bucketed_join"   -> (p18_bucketed_join _),
     "d11_containment"     -> (d11_containment _),
     "a2_heavy_hitters"    -> (a2_heavy_hitters _),
     "s4_ann_rerank"       -> (s4_ann_rerank _),
@@ -706,6 +733,12 @@ object Round4Queries {
         |SELECT o_orderpriority, COUNT(*) AS n_live,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM latest WHERE rk = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p18_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a2_heavy_hitters" ->
       """WITH keyed AS (
