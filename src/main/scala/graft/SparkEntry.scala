@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MoreQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
       graft.queries.Round3Queries.queries ++
-      graft.queries.Round4Queries.queries
+      graft.queries.Round4Queries.queries ++
+      graft.queries.Round5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.MoreQueries.oracles ++
       graft.queries.ExtensionQueries.oracles ++
       graft.queries.Round3Queries.oracles ++
-      graft.queries.Round4Queries.oracles
+      graft.queries.Round4Queries.oracles ++
+      graft.queries.Round5Queries.oracles
 }

@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Fifth batch: the product-analytics queries every event pipeline ends up
+  * running (ordered funnels, cohort retention, true time-interval rolling
+  * windows), the remaining training-data curation signals (Gopher-style
+  * repetition, SemDeDup-style embedding dedup, k-NN label voting), a
+  * snapshot-isolation (time travel) read, and the built-in
+  * `session_window` streaming aggregation.
+  *
+  * Reference scope: all are reachable through the reference's open
+  * `transform.sql` DuckDB dialect (/root/reference/tools.py:58-65) or are
+  * the LLM-pipeline extensions the build plan adds beyond reference
+  * parity; each is re-expressed as a declarative Spark plan.
+  */
+object Round5Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column, scale: Int = 4) = c.cast(DecimalType(18, scale))
+  private def dsum(c: Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  private def scratch(name: String): String = graft.Scratch.dir(name)
+
+  /** events.ts is int64 nanoseconds in parquet; both engines compare at
+    * microsecond resolution (DuckDB's TIMESTAMP cast truncates the same
+    * way), so ordering and interval arithmetic agree exactly. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us",
+      timestamp_micros(expr("ts div 1000")))
+
+  // ── q65: ordered conversion funnel — view → click-after-view →
+  //        purchase-after-click, each stage anchored at the user's
+  //        earliest qualifying event. Stage frames are tiny (one row per
+  //        user), so each stage join broadcasts and the raw events table
+  //        is scanned exactly once per stage with the stage predicate
+  //        pushed into the scan — no self-join of events against events. ──
+  def q65_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    def stage(evType: String, prev: Option[DataFrame], tCol: String) = {
+      val base = e.filter(col("event_type") === evType)
+      val gated = prev match {
+        case Some(p) => base.join(broadcast(p), "user_id")
+          .filter(col("ts_us") >= col(p.columns.last))
+        case None => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts_us")).as(tCol))
+    }
+    val v = stage("view", None, "t_view")
+    val c = stage("click", Some(v), "t_click")
+    val p = stage("purchase", Some(c), "t_buy")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_buy")).as("n_full_funnel"))
+  }
+
+  // ── q66: weekly cohort retention — users bucketed by first-active week,
+  //        then the (cohort, weeks-since) activity matrix. The distinct
+  //        (user, week) grid is the only shuffle over raw events; the
+  //        cohort frame is one row per user and broadcasts back onto the
+  //        grid. ─────────────────────────────────────────────────────────
+  def q66_retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = eventsTs(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts_us")).cast(DateType).as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    wk.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("wk"), col("cohort_week")) / 7)
+          .cast(IntegerType).as("week_no"))
+      .agg(count(lit(1)).as("n_users")) // (user, wk) already distinct
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
+  // ── q67: true time-interval rolling window — per event, the user's
+  //        trailing-1-hour event count and value total via RANGE BETWEEN
+  //        on the event timestamp itself (q35 rolls over pre-aggregated
+  //        day numbers; this rolls over raw event time). One shuffle on
+  //        user_id; frames are resolved by binary search within the
+  //        sorted partition, never by re-scanning. ───────────────────────
+  def q67_interval_window(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts_us")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec(col("value"))).over(w).cast(DoubleType).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  // ── t11: Gopher-style repetition signals — fraction of mass held by the
+  //        most frequent word and bigram, and the duplicate-trigram
+  //        fraction. High values mark boilerplate/spam for training-data
+  //        filtering (Rae et al. 2021's "repetition" family). Two
+  //        (doc, gram) count shuffles + one codegen'd array pass; nothing
+  //        crosses documents, so the job is embarrassingly parallel at
+  //        100 TB. ──────────────────────────────────────────────────────
+  def t11_repetition(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      Text.tokens(col("text")).as("toks"),
+      Text.shingles(col("text"), 2).as("bi"),
+      Text.shingles(col("text"), 3).as("tri"))
+    val wtop = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        max(col("c")).as("wmax"))
+    val btop = base.select(col("doc_id"), explode(col("bi")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nbi"), max(col("c")).as("bmax"))
+    val tstats = base.select(col("doc_id"), size(col("tri")).as("ntri"),
+      size(array_distinct(col("tri"))).as("ndis"))
+    wtop.join(btop, "doc_id").join(tstats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("wmax").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("top_word_frac"),
+        round(col("bmax").cast(DoubleType) /
+          col("nbi").cast(DoubleType), 6).as("top_bigram_frac"),
+        when(col("ntri") > 0,
+          round(lit(1.0) - col("ndis").cast(DoubleType) /
+            col("ntri").cast(DoubleType), 6)).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── d12: SemDeDup-style embedding dedup — within each cluster, drop any
+  //        vector that has a lower-id neighbor above the cosine threshold
+  //        (Abbas et al. 2023: cluster first, compare only within
+  //        clusters). The keep rule is order-independent (membership of a
+  //        lower-id near neighbor), so the answer is identical across any
+  //        partitioning. The self-join is per-cluster, never corpus-wide:
+  //        cost is Σ|cluster|², the quantization win that makes semantic
+  //        dedup tractable at 100 TB. Labels stand in for the quantizer
+  //        here (this synthetic corpus is isotropic — see Ivf's spherical
+  //        k-means for the data-adaptive clustering the real pipeline
+  //        runs), so the threshold is tuned to the corpus's cosine range
+  //        rather than a semantic 0.95+. ───────────────────────────────────
+  def d12_semdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Vectors
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("label").as("l"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = e.select(col("label").as("l"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val dropped = a.join(b, "l")
+      .filter(col("id_a") < col("id_b") &&
+        Vectors.cosine(col("va"), col("vb")) >= 0.30)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ── s5: k-NN label vote — classify each query vector by the majority
+  //        label of its 10 nearest neighbors (exact cosine; deterministic
+  //        vote tie-break on (votes desc, label asc)). The query set
+  //        broadcasts; the corpus streams through one codegen'd cosine
+  //        pass and only the per-query top-k crosses the shuffle — the
+  //        same plan shape as s1, plus one tiny vote aggregate. ──────────
+  def s5_knn_classify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Vectors
+    val e = t(s, dir, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") % 100 === 0).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("label").as("true_label")))
+    val scored = e.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("cand_id"), col("label"),
+        Vectors.cosine(col("qv"), col("embedding")).as("cosv"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosv").desc, col("cand_id"))
+    val votes = scored.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 10)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+      .orderBy(col("query_id"))
+  }
+
+  // ── p19: snapshot isolation / time travel — an Iceberg-lite manifest
+  //        (version → immutable data-file list) written next to the data;
+  //        reading "as of v1" plans only v1's files, so historical reads
+  //        cost the historical data size and never see in-flight appends.
+  //        The manifest is the entire mechanism real table formats build
+  //        on — data files are immutable, versions are file-list diffs. ──
+  def p19_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val baseDir = scratch("p19_v1")
+    val deltaDir = scratch("p19_v2delta")
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    ord.filter(col("o_orderdate") < "1997-01-01")
+      .write.mode("overwrite").parquet(baseDir)
+    ord.filter(col("o_orderdate") >= "1997-01-01")
+      .write.mode("overwrite").parquet(deltaDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    def files(d: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.toString)
+        .filter(_.contains("part-")).toSeq.sorted
+    val manifest: Map[Int, Seq[String]] = Map(
+      1 -> files(baseDir),
+      2 -> (files(baseDir) ++ files(deltaDir)))
+    // persist the manifest the way a table format would (version ledger)
+    val manifestPath = new org.apache.hadoop.fs.Path(
+      scratch("p19_manifest"), "manifest.json")
+    val out = fs.create(manifestPath, true)
+    out.write(manifest.toSeq.sortBy(_._1).map { case (v, fl) =>
+      s"""{"version":$v,"files":[${fl.map("\"" + _ + "\"").mkString(",")}]}"""
+    }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    def asOf(v: Int): DataFrame =
+      s.read.parquet(manifest(v): _*)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .withColumn("version", lit(v))
+    asOf(1).unionByName(asOf(2))
+      .select(col("version"), col("n"), col("total"))
+      .orderBy(col("version"))
+  }
+
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  // ── e12: built-in session_window streaming aggregation — the declarative
+  //        twin of e5's flatMapGroupsWithState sessionizer. Sessions merge
+  //        while each event lands strictly inside the previous event's
+  //        ts + gap (new session when the gap is >= 30 min); append mode
+  //        emits a session once the watermark (max event time − 30 min)
+  //        passes its end (last event + gap). The oracle reproduces both
+  //        rules, so the built-in operator's exact merge and eviction
+  //        semantics are hash-proven against SQL, not assumed. ───────────
+  def e12_stream_session_window(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_sesswin_${streamRunSeq.incrementAndGet()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", "30 minutes")
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_funnel"          -> (q65_funnel _),
+    "q66_retention"       -> (q66_retention _),
+    "q67_interval_window" -> (q67_interval_window _),
+    "t11_repetition"      -> (t11_repetition _),
+    "d12_semdedup"        -> (d12_semdedup _),
+    "s5_knn_classify"     -> (s5_knn_classify _),
+    "p19_time_travel"     -> (p19_time_travel _),
+    "e12_stream_session_window" -> (e12_stream_session_window _))
+
+  val oracles: Map[String, String] = Map(
+    "q65_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_view_click,
+        |       (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q66_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT cohort_week,
+        |  CAST(FLOOR((wk - cohort_week) / 7.0) AS INTEGER) AS week_no,
+        |  COUNT(*) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_interval_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "t11_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, pos, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tok),
+        |wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |wtop AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         MAX(c) AS wmax FROM wcnt GROUP BY 1),
+        |bcnt AS (SELECT doc_id, w || ' ' || w2 AS b, COUNT(*) AS c
+        |         FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |btop AS (SELECT doc_id, SUM(c) AS nbi, MAX(c) AS bmax
+        |         FROM bcnt GROUP BY 1),
+        |tri AS (SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS t3
+        |        FROM seq WHERE w3 IS NOT NULL),
+        |tstats AS (SELECT doc_id, COUNT(*) AS ntri, COUNT(DISTINCT t3) AS ndis
+        |           FROM tri GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(wmax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS top_word_frac,
+        |  ROUND(CAST(bmax AS DOUBLE) / CAST(nbi AS DOUBLE), 6)
+        |    AS top_bigram_frac,
+        |  CASE WHEN ntri > 0 THEN
+        |    ROUND(1.0 - CAST(ndis AS DOUBLE) / CAST(ntri AS DOUBLE), 6)
+        |  END AS dup_trigram_frac
+        |FROM wtop JOIN btop USING (doc_id) JOIN tstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d12_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT id_b AS vec_id
+        |  FROM dots JOIN norms na ON na.vec_id = id_a
+        |            JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE dot / (na.nrm * nb.nrm) >= 0.30)
+        |SELECT emb.vec_id, emb.label,
+        |  (dropped.vec_id IS NOT NULL) AS dropped
+        |FROM embeddings emb LEFT JOIN dropped ON emb.vec_id = dropped.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
+    "s5_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+        |  FROM e q JOIN e c ON q.i = c.i
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY 1),
+        |ranked AS (
+        |  SELECT query_id, cand_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY dot/(nq.nrm*nc.nrm) DESC, cand_id) AS rk
+        |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms nc ON nc.vec_id = cand_id),
+        |votes AS (
+        |  SELECT r.query_id, c.label, COUNT(*) AS votes
+        |  FROM ranked r JOIN embeddings c ON c.vec_id = r.cand_id
+        |  WHERE r.rk <= 10 GROUP BY 1, 2),
+        |vr AS (
+        |  SELECT query_id, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label ASC) AS vrk
+        |  FROM votes)
+        |SELECT v.query_id, q.label AS true_label, v.label AS pred_label,
+        |       v.votes
+        |FROM vr v JOIN embeddings q ON q.vec_id = v.query_id
+        |WHERE v.vrk = 1 ORDER BY v.query_id""".stripMargin,
+    "p19_time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate < '1997-01-01'
+        |UNION ALL
+        |SELECT 2 AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |ORDER BY version""".stripMargin,
+    "e12_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT MAX(ts) AS max_ts FROM e),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sess_no, COUNT(*) AS n_events,
+        |    MIN(ts) AS sess_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS sess_end
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, sess_start, sess_end, n_events
+        |FROM agg, mx
+        |WHERE sess_end <= max_ts - INTERVAL 30 MINUTE
+        |ORDER BY user_id, sess_start""".stripMargin)
+}
