@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by min-label propagation over an undirected
-    * edge list: every node starts labeled with itself; each round adopts
-    * the minimum label among itself and its neighbors; fixpoint = each
-    * node labeled with its component's minimum id. Deterministic
-    * (min is order-independent), converges in O(component diameter)
-    * rounds — dup clusters are shallow, so a handful. Each round is one
-    * shuffle; at extreme scale swap in the large-star/small-star
-    * contraction (same contract, fewer rounds on long chains).
+  /** Connected components. Small edge sets (the common case once pairs
+    * came from a good candidate generator) resolve in one driver-side
+    * union-find — the same size-based strategy switch as a broadcast
+    * join. Above `driverThreshold` the distributed path runs
+    * large-star/small-star contraction (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"): each round is two grouped
+    * shuffles, and the round count is O(log² n) in the component size —
+    * independent of component *diameter*, so billion-edge chain-shaped
+    * graphs converge in a handful of rounds where one-hop label
+    * propagation would need O(diameter). Throws if `maxRounds` passes
+    * without a fixpoint rather than returning truncated labels.
     *
-    * Returns (`n`, `cluster`) for every node appearing in `edges`. */
+    * Returns (`n`, `cluster`) for every node appearing in `edges`; the
+    * cluster label is the component's minimum id (deterministic across
+    * any partitioning). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50, driverThreshold: Long = 1L << 20): DataFrame = {
     val und = edges.select(col(aCol).cast("long").as("a"),
@@ -28,11 +33,6 @@ object Graph {
         col(aCol).cast("long").as("b")))
       .distinct()
       .cache()
-    // Small graphs (the common case once pairs came from a good candidate
-    // generator) resolve in one driver-side union-find instead of
-    // O(diameter) distributed rounds — the same size-based strategy switch
-    // as a broadcast join. The distributed path below stays the scale
-    // story for billion-edge graphs.
     if (und.count() <= driverThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
@@ -58,43 +58,75 @@ object Graph {
       und.unpersist()
       return nodes.map(n => (n, find(n))).toDF("n", "l")
     }
-    var labels = und.select(col("a").as("n")).distinct()
-      .withColumn("l", col("n"))
-      .cache()
+    val result = starContraction(und, maxRounds)
+    und.unpersist()
+    result
+  }
+
+  /** One large-star round: every node hooks its larger neighbors onto the
+    * minimum of its closed neighborhood. Input/output are canonical
+    * undirected edges (u > v, no self loops). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mdf = bidir.groupBy(col("u").as("c"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("c"), least(col("mv"), col("c")).as("m"))
+    // for each center c: emit (n, m) for neighbors n > c; m <= c < n keeps
+    // the output canonical by construction
+    bidir.join(mdf, col("u") === col("c"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node's smaller neighbors (and itself)
+    * hook onto the minimum of that closed neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mdf = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mdf, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mdf.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star until the edge set is a fixpoint of
+    * stars (u, componentMin), then read the labels off the stars.
+    *
+    * Every round materializes through an eager `localCheckpoint`: each
+    * star step references its input three times, so without lineage
+    * truncation the logical plan grows ~9× per round and the optimizer —
+    * not the data — becomes the bottleneck. Checkpoint blocks are
+    * executor-local and not fault-tolerant; a long-lived cluster
+    * deployment would checkpoint to reliable storage instead (same code,
+    * `checkpoint(true)` + a checkpoint dir). */
+  private def starContraction(und: DataFrame, maxRounds: Int): DataFrame = {
+    var e = und.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = und
-        .join(labels.withColumnRenamed("n", "b2"), col("b") === col("b2"))
-        .groupBy(col("a").as("n2")).agg(min(col("l")).as("nl"))
-      val next = labels
-        .join(nbrMin, col("n") === col("n2"), "left")
-        .select(col("n"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("l", "l0"), "n")
-        .filter(col("l") =!= col("l0")).count()
-      labels.unpersist()
-      labels = next
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // exact fixpoint check on the canonical edge set (two anti-joins
+      // over the two checkpoints; a hash-signature compare would be
+      // probabilistic, and this operator feeds correctness-gated dedup)
+      done = next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+        e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      e = next // superseded checkpoint blocks free when the handle is GC'd
       round += 1
     }
-    und.unpersist()
-    if (changed > 0) {
-      labels.unpersist() // release the last round's cache on the error path too
+    if (!done) {
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-          s"($changed labels still changing) — component diameter exceeds " +
-          "maxRounds; raise maxRounds or switch to star contraction")
+        s"connectedComponents star contraction did not converge in " +
+          s"$maxRounds rounds — raise maxRounds")
     }
-    // Materialize the fixpoint via the still-cached plan into an eager
-    // localCheckpoint, then drop the cache: no cache entry outlives the
-    // call, and the iterative lineage (O(rounds) joins) is truncated so
-    // consumers don't risk recomputing it. Trade-off: localCheckpoint
-    // blocks are executor-local and not fault-tolerant — a long-lived
-    // cluster deployment should write the result to storage instead of
-    // holding this handle across executor churn (the blocks free when the
-    // returned DataFrame is garbage collected).
-    val result = labels.localCheckpoint(true)
-    labels.unpersist()
-    result
+    // at the fixpoint every edge is (member, componentMin); isolated or
+    // root nodes label themselves
+    und.select(col("a").as("n")).distinct()
+      .join(e.select(col("u").as("n"), col("v").as("l")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("l"), col("n")).as("l"))
+      .localCheckpoint(true)
   }
 }

@@ -34,7 +34,7 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("distributed label propagation agrees with the driver path") {
+  test("distributed star contraction agrees with the driver path") {
     val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
     val dist = Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
         driverThreshold = 0L)
@@ -44,14 +44,35 @@ class GraphSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("star contraction matches BFS truth on random graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(40)((rnd.nextLong(25), rnd.nextLong(25)))
+        .filter { case (a, b) => a != b }
+      val dist = Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
+          driverThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == bfsComponents(es))
+    }
+  }
+
+  test("star contraction is diameter-independent: a 300-chain in <50 rounds") {
+    // one-hop min-label propagation would need ~300 rounds here; the
+    // contraction's O(log² n) bound finishes far inside the default budget
+    val es = (1L to 300L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val dist = Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size == 300 && dist.values.forall(_ == 1L))
+  }
+
   test("distributed path reports non-convergence instead of wrong labels") {
-    // path graph of diameter 6: min-label propagation moves one hop per
-    // round, so 2 rounds cannot reach fixpoint — must throw, not return
-    // silently-truncated labels
-    val es = (1L to 7L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // a 200-chain cannot reach the star fixpoint in a single round — must
+    // throw, not return silently-truncated labels
+    val es = (1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq
     assertThrows[IllegalStateException] {
       Graph.connectedComponents(es.toDF("a", "b"), "a", "b",
-        maxRounds = 2, driverThreshold = 0L).collect()
+        maxRounds = 1, driverThreshold = 0L).collect()
     }
   }
 
