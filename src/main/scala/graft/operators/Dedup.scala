@@ -26,20 +26,26 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("fingerprint"), col("dup_count"))
 
-  /** Distinct token-n-gram shingles exploded to (id, n_sh, sh) rows — the
-    * per-document set size rides along with every shingle row, so pair
-    * scoring never needs a join back to a sizes table. The shingle is
-    * carried as its 64-bit xxhash, not the string: the candidate join
-    * shuffles 8-byte keys instead of n-token strings (a large constant
-    * factor at corpus scale), at the cost of a ~n²/2⁶⁴ collision
-    * probability that would merely admit one spurious candidate pair. */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+  /** Per-document distinct token-n-gram shingle sets as 64-bit xxhash
+    * arrays — one row per document. Hashing to longs means every
+    * downstream join/intersection moves 8-byte keys instead of n-token
+    * strings (a large constant factor at corpus scale), at the cost of a
+    * ~n²/2⁶⁴ collision probability that would merely admit one spurious
+    * candidate pair. This compact form is the artifact worth
+    * checkpointing/persisting between runs; [[explodedShingles]] derives
+    * the posting-list view from it. */
+  private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(Text.shingles(col(textCol), n)).as("shs"))
-      .select(col("id"), size(col("shs")).as("n_sh"),
-        explode(col("shs")).as("sh0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+        transform(array_distinct(Text.shingles(col(textCol), n)),
+          s => xxhash64(s)).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), col("shs"))
+
+  /** Posting-list view: (id, n_sh, sh) rows — the per-document set size
+    * rides along with every shingle row, so candidate generation never
+    * needs a join back to a sizes table. */
+  private def explodedShingles(ds: DataFrame): DataFrame =
+    ds.select(col("id"), col("n_sh"), explode(col("shs")).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * The shingle equi-join is the candidate generator — complexity is
@@ -49,22 +55,38 @@ object Dedup {
     * (id_a, id_b) determines them, so they group along for free. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Materialize the tokenize+shingle+hash subtree once: the frequency
-    // ranking, the prefix branch, and both verification sides consume it,
-    // and without a checkpoint Spark would re-tokenize the corpus for
-    // each consumer. Same executor-local-blocks trade-off as
-    // Graph.connectedComponents: blocks free when the result is GC'd; a
-    // long-lived cluster deployment should persist the shingle table to
-    // storage instead (it is also the natural precomputed artifact to
-    // keep between incremental dedup runs).
-    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint()
-    jaccardScore(
-      sh.as("a").join(candidatePairs(sh, threshold),
-          col("a.id") === col("id_a"))
-        .join(sh.as("b"),
-          col("b.id") === col("id_b") && col("a.sh") === col("b.sh")),
-      threshold)
+    // Materialize the tokenize+shingle+hash pass once as one compact row
+    // per document: the frequency ranking, the prefix branch, and both
+    // verification sides all derive from it, and without a checkpoint
+    // Spark would re-tokenize the corpus for each consumer. Same
+    // executor-local-blocks trade-off as Graph.connectedComponents:
+    // blocks free when the result is GC'd; a long-lived cluster
+    // deployment should persist the set table to storage instead (it is
+    // also the natural precomputed artifact to keep between incremental
+    // dedup runs).
+    val ds = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val jac = col("inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    verifyPairs(ds, candidatePairs(explodedShingles(ds), threshold))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
+
+  /** Exact verification of candidate pairs against the compact per-doc
+    * sets: two id equi-joins plus one native `array_intersect` per pair.
+    * Compared to re-joining the exploded posting lists, this shuffles one
+    * row per (pair, side) instead of one row per (pair, shingle) — the
+    * candidate set is orders of magnitude smaller than the corpus, so the
+    * exploded table never crosses the wire again. Emits
+    * (id_a, id_b, na, nb, inter). */
+  private def verifyPairs(ds: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(ds.select(col("id").as("id_a"), col("n_sh").as("na"),
+        col("shs").as("shs_a")), "id_a")
+      .join(ds.select(col("id").as("id_b"), col("n_sh").as("nb"),
+        col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("inter"))
 
   /** Exact prefix-filtered candidate pairs (Bayardo et al., "Scaling Up
     * All Pairs Similarity Search", WWW'07): under any global total order
@@ -112,20 +134,19 @@ object Dedup {
     * [[ngramJaccard]]. */
   def ngramContainment(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint()
+    val ds = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val sh = explodedShingles(ds)
     val candidates = rankedPrefix(sh, threshold).as("x")
       .join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val inter = sh.as("a").join(candidates, col("a.id") === col("id_a"))
-      .join(sh.as("b"),
-        col("b.id") === col("id_b") && col("a.sh") === col("b.sh"))
-      .groupBy(col("id_a"), col("id_b"), col("a.n_sh").as("na"))
-      .agg(count(lit(1)).as("inter"))
-    val containment = col("inter").cast(DoubleType) / col("na").cast(DoubleType)
-    inter.filter(containment >= threshold)
-      .select(col("id_a"), col("id_b"), round(containment, 6).as("containment"))
+    val containment =
+      col("inter").cast(DoubleType) / col("na").cast(DoubleType)
+    verifyPairs(ds, candidates)
+      .filter(containment >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(containment, 6).as("containment"))
   }
 
   /** Group pair-candidate shingle matches into exact Jaccard scores. */
@@ -150,8 +171,10 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame =
     jaccardScore(
-      shingleTable(newDf, idCol, textCol, n).as("a")
-        .join(shingleTable(corpusDf, idCol, textCol, n).as("b"),
+      explodedShingles(docShingleSets(newDf, idCol, textCol, n)).as("a")
+        .join(
+          explodedShingles(docShingleSets(corpusDf, idCol, textCol, n))
+            .as("b"),
           col("a.sh") === col("b.sh")),
       threshold)
 
@@ -193,12 +216,12 @@ object Dedup {
 
     // verify candidates with exact jaccard (candidate set is small by
     // construction, so this join is cheap)
-    val sh = shingleTable(df, idCol, textCol, shingleN)
-    jaccardScore(
-      sh.as("a").join(candidates, col("a.id") === col("id_a"))
-        .join(sh.as("b"),
-          col("b.id") === col("id_b") && col("a.sh") === col("b.sh")),
-      threshold)
+    val ds = docShingleSets(df, idCol, textCol, shingleN)
+    val jac = col("inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    verifyPairs(ds, candidates)
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
   /** 64-bit SimHash per document: each token hash votes ±1 on every bit
