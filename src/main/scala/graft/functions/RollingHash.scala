@@ -87,3 +87,74 @@ object RollingMinHash {
   def rollingMinHash(c: Column, k: Int = 8): Column =
     ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), k))
 }
+
+/** Content-defined chunk cut points: the 1-based end positions (in
+  * codepoints) of every `w`-codepoint window whose Karp-Rabin hash is
+  * ≡ 0 mod 2^maskBits — the boundary rule of content-defined chunking
+  * (Muthitacharoen et al., SOSP'01 "LBFS"): because boundaries depend
+  * only on local content, an insertion re-chunks O(1) chunks instead of
+  * shifting every fixed-size block, so shared runs across documents
+  * yield identical chunk digests. Same portable hash family as
+  * [[RollingMinHash]] (codepoints, mod 2^61-1), so a SQL oracle
+  * recomputes the exact cut list. Expected chunk length ≈ 2^maskBits
+  * + w. */
+case class CdcCuts(child: Expression, w: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_cuts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcCuts.compute(input.asInstanceOf[UTF8String].toString, w, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcCuts.compute($c.toString(), $w, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Static forwarder target for generated Java code. */
+  def compute(s: String, w: Int, maskBits: Int): GenericArrayData = {
+    val B = 1000003L
+    val M = RollingMinHash.M
+    val mask = (1L << maskBits) - 1
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n >= w) {
+      var h = 0L
+      var i = 0
+      while (i < w) {
+        h = RollingMinHash.mulmod(h, B) + cps(i); if (h >= M) h -= M
+        i += 1
+      }
+      var pow = 1L
+      i = 1
+      while (i < w) { pow = RollingMinHash.mulmod(pow, B); i += 1 }
+      if ((h & mask) == 0L) cuts += w // window [1..w], cut after position w
+      i = w
+      while (i < n) {
+        val off = RollingMinHash.mulmod(cps(i - w).toLong, pow)
+        h = h - off
+        if (h < 0) h += M
+        h = RollingMinHash.mulmod(h, B) + cps(i)
+        if (h >= M) h -= M
+        if ((h & mask) == 0L) cuts += (i + 1) // 1-based end of this window
+        i += 1
+      }
+    }
+    new GenericArrayData(cuts.toArray)
+  }
+
+  /** Column form. */
+  def cdcCuts(c: Column, w: Int = 16, maskBits: Int = 6): Column =
+    ColumnBridge.column(CdcCuts(ColumnBridge.expression(c), w, maskBits))
+}

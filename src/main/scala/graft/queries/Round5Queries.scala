@@ -279,6 +279,45 @@ object Round5Queries {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  // ── m4: content-defined chunk dedup over payloads — the storage-level
+  //        dedup a multimodal lake runs on opaque blobs: LBFS-style
+  //        rolling-hash boundaries (so shared byte runs chunk identically
+  //        regardless of offset), md5 per chunk, then cross-document
+  //        chunk-sharing stats. Boundaries come from the codegen'd CdcCuts
+  //        expression; the payload stand-in is the UTF-8 text (this corpus
+  //        is ASCII: bytes == codepoints, same caveat as polyHash). Cost
+  //        is one per-row pass + one shuffle keyed by chunk digest —
+  //        nothing pairwise. ────────────────────────────────────────────
+  def m4_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CdcCuts
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        array_sort(array_union(
+          CdcCuts.cdcCuts(col("text"), w = 16, maskBits = 6),
+          array(length(col("text"))))).as("cuts"))
+      // (start, fin) per chunk from consecutive cut positions (Spark array
+      // indexing and transform's index are both 0-based)
+      .select(col("doc_id"), col("text"),
+        explode(expr("""transform(cuts, (c, i) ->
+          |  struct(CASE WHEN i = 0 THEN 1 ELSE cuts[i-1] + 1 END AS start,
+          |         c AS fin))""".stripMargin)).as("ch"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, ch.start, ch.fin - ch.start + 1)"))
+          .as("digest"),
+        (col("ch.fin") - col("ch.start") + 1).as("len"))
+    val dg = chunks.select(col("doc_id"), col("digest")).distinct()
+    val dfreq = dg.groupBy(col("digest")).agg(count(lit(1)).as("ndocs"))
+    val share = dg.join(dfreq, "digest")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("ndocs") >= 2, 1)).as("n_shared"),
+        round(count(when(col("ndocs") >= 2, 1)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("shared_ratio"))
+    val lens = chunks.groupBy(col("doc_id"))
+      .agg(round(avg(col("len")), 6).as("mean_chunk_len"))
+    share.join(lens, "doc_id").orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_funnel"          -> (q65_funnel _),
     "q66_retention"       -> (q66_retention _),
@@ -287,7 +326,17 @@ object Round5Queries {
     "d12_semdedup"        -> (d12_semdedup _),
     "s5_knn_classify"     -> (s5_knn_classify _),
     "p19_time_travel"     -> (p19_time_travel _),
-    "e12_stream_session_window" -> (e12_stream_session_window _))
+    "e12_stream_session_window" -> (e12_stream_session_window _),
+    "m4_cdc_chunks"       -> (m4_cdc_chunks _))
+
+  /** B^(15-j) mod 2^61-1 for j=0..15 — the per-position weights that let
+    * DuckDB recompute [[graft.functions.CdcCuts]]'s 16-codepoint
+    * Karp-Rabin window hash as a plain weighted sum in HUGEINT. */
+  private val cdcPowers: String = {
+    val M = BigInt(graft.functions.RollingMinHash.M)
+    (0 to 15).map(j => s"($j, ${BigInt(1000003).modPow(BigInt(15 - j), M)})")
+      .mkString(", ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q65_funnel" ->
@@ -445,5 +494,44 @@ object Round5Queries {
         |SELECT user_id, sess_start, sess_end, n_events
         |FROM agg, mx
         |WHERE sess_end <= max_ts - INTERVAL 30 MINUTE
-        |ORDER BY user_id, sess_start""".stripMargin)
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "m4_cdc_chunks" ->
+      s"""WITH pw(j, p) AS (VALUES $cdcPowers),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |win AS (SELECT doc_id, text, unnest(range(1, n - 14)) AS i
+        |        FROM d WHERE n >= 16),
+        |h AS (
+        |  SELECT w.doc_id, w.i,
+        |    SUM(CAST(ord(substr(w.text, CAST(w.i + pw.j AS INT), 1)) AS HUGEINT)
+        |        * CAST(pw.p AS HUGEINT)) % 2305843009213693951 AS hv
+        |  FROM win w CROSS JOIN pw GROUP BY 1, 2),
+        |cuts AS (
+        |  SELECT DISTINCT doc_id, cut FROM (
+        |    SELECT doc_id, i + 15 AS cut FROM h WHERE hv % 64 = 0
+        |    UNION ALL
+        |    SELECT doc_id, n FROM d)),
+        |seg AS (
+        |  SELECT doc_id, cut,
+        |    COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+        |      AS prev
+        |  FROM cuts),
+        |chunks AS (
+        |  SELECT s.doc_id,
+        |    md5(substr(d.text, CAST(s.prev + 1 AS INT),
+        |        CAST(s.cut - s.prev AS INT))) AS digest,
+        |    s.cut - s.prev AS len
+        |  FROM seg s JOIN d USING (doc_id)),
+        |dg AS (SELECT DISTINCT doc_id, digest FROM chunks),
+        |dfreq AS (SELECT digest, COUNT(*) AS ndocs FROM dg GROUP BY 1),
+        |share AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_chunks,
+        |    COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS n_shared,
+        |    ROUND(CAST(COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE) /
+        |          CAST(COUNT(*) AS DOUBLE), 6) AS shared_ratio
+        |  FROM dg g JOIN dfreq USING (digest) GROUP BY 1),
+        |lens AS (SELECT doc_id, ROUND(AVG(len), 6) AS mean_chunk_len
+        |         FROM chunks GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_shared, shared_ratio, mean_chunk_len
+        |FROM share JOIN lens USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }
