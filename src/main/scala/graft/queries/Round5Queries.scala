@@ -279,6 +279,60 @@ object Round5Queries {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  // ── q68: user path analysis — the top 10 first-3-event journeys by
+  //        user count (deterministic tie-break on the path string). One
+  //        window shuffle on user_id; the path histogram is tiny, so the
+  //        top-k rank runs over aggregated rows, never raw events. ───────
+  def q68_event_path(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = eventsTs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        min(when(col("rn") === 1, col("event_type"))),
+        min(when(col("rn") === 2, col("event_type"))),
+        min(when(col("rn") === 3, col("event_type")))).as("path"))
+    val cnt = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    cnt.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))))
+      .filter(col("rk") <= 10)
+      .select(col("path"), col("n"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
+  // ── t12: Shannon entropy quality signals — character- and word-level
+  //        entropy per document (low char entropy = keyboard mashing /
+  //        repeated fills; low word entropy = boilerplate), the
+  //        complement of t11's repetition fractions. Per-term products
+  //        round to DECIMAL(28,12) before summing so the aggregation is
+  //        order-independent and the SQL oracle reproduces it bit-for-bit
+  //        under any partitioning. ──────────────────────────────────────
+  def t12_entropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    def entropy(counted: DataFrame): DataFrame = counted
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(DoubleType).as("n"),
+        sum(round(col("c") * log2(col("c")), 12)
+          .cast(DecimalType(28, 12))).cast(DoubleType).as("s"))
+      .select(col("doc_id"),
+        round(log2(col("n")) - col("s") / col("n"), 6).as("h"))
+    val docs = t(s, dir, "documents")
+    val chars = entropy(docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("x"))
+      .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c")))
+    val words = entropy(docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("x"))
+      .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c")))
+    chars.select(col("doc_id"), col("h").as("char_entropy"))
+      .join(words.select(col("doc_id"), col("h").as("word_entropy")),
+        "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   // ── m4: content-defined chunk dedup over payloads — the storage-level
   //        dedup a multimodal lake runs on opaque blobs: LBFS-style
   //        rolling-hash boundaries (so shared byte runs chunk identically
@@ -327,7 +381,9 @@ object Round5Queries {
     "s5_knn_classify"     -> (s5_knn_classify _),
     "p19_time_travel"     -> (p19_time_travel _),
     "e12_stream_session_window" -> (e12_stream_session_window _),
-    "m4_cdc_chunks"       -> (m4_cdc_chunks _))
+    "m4_cdc_chunks"       -> (m4_cdc_chunks _),
+    "q68_event_path"      -> (q68_event_path _),
+    "t12_entropy"         -> (t12_entropy _))
 
   /** B^(15-j) mod 2^61-1 for j=0..15 — the per-position weights that let
     * DuckDB recompute [[graft.functions.CdcCuts]]'s 16-codepoint
@@ -533,5 +589,55 @@ object Round5Queries {
         |         FROM chunks GROUP BY 1)
         |SELECT doc_id, n_chunks, n_shared, shared_ratio, mean_chunk_len
         |FROM share JOIN lens USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q68_event_path" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM e),
+        |paths AS (
+        |  SELECT user_id, concat_ws('>',
+        |    MIN(CASE WHEN rn = 1 THEN event_type END),
+        |    MIN(CASE WHEN rn = 2 THEN event_type END),
+        |    MIN(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |cnt AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY 1),
+        |ranked AS (
+        |  SELECT path, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+        |  FROM cnt)
+        |SELECT path, n FROM ranked WHERE rk <= 10
+        |ORDER BY n DESC, path""".stripMargin,
+    "t12_entropy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, n + 1),
+        |    i -> substr(text, CAST(i AS INT), 1))) AS x
+        |  FROM d),
+        |ccnt AS (SELECT doc_id, x, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT doc_id,
+        |    ROUND(log2(CAST(SUM(c) AS DOUBLE)) -
+        |      CAST(SUM(CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 12)
+        |               AS DECIMAL(28,12))) AS DOUBLE) /
+        |      CAST(SUM(c) AS DOUBLE), 6) AS char_entropy
+        |  FROM ccnt GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS x
+        |  FROM d),
+        |wcnt AS (SELECT doc_id, x, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |went AS (
+        |  SELECT doc_id,
+        |    ROUND(log2(CAST(SUM(c) AS DOUBLE)) -
+        |      CAST(SUM(CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 12)
+        |               AS DECIMAL(28,12))) AS DOUBLE) /
+        |      CAST(SUM(c) AS DOUBLE), 6) AS word_entropy
+        |  FROM wcnt GROUP BY 1)
+        |SELECT doc_id, char_entropy, word_entropy
+        |FROM cent JOIN went USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
 }
