@@ -113,6 +113,61 @@ class Round5QueriesSpec extends SparkSpec {
       "version 2 must include the delta files")
   }
 
+  test("top event paths cover at most the user universe, 10 rows max") {
+    import spark.implicits._
+    val rows = Round5Queries.q68_event_path(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= users,
+      "each user contributes exactly one path")
+  }
+
+  test("entropy signals are bounded by the alphabet size") {
+    import spark.implicits._
+    val out = Round5Queries.t12_entropy(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", length($"text").as("n")), "doc_id")
+    assert(out.filter($"char_entropy" < 0 ||
+      $"char_entropy" > log2($"n") + 1e-6).isEmpty,
+      "0 <= H(chars) <= log2(n_chars)")
+    assert(out.filter($"word_entropy" < 0).isEmpty)
+    // words carry at least as much surprise per symbol as characters on
+    // natural text is NOT an invariant; but both must be finite
+    assert(out.filter($"word_entropy".isNull || $"char_entropy".isNull)
+      .isEmpty)
+  }
+
+  test("content-defined chunking realigns after an inserted prefix") {
+    import spark.implicits._
+    import graft.functions.CdcCuts
+    // the LBFS property fixed-size blocks lack: shifting the content by a
+    // prefix must leave most chunk digests intact (boundaries re-sync at
+    // the first content-defined cut after the edit)
+    def digests(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"text",
+        array_sort(array_union(CdcCuts.cdcCuts($"text", 16, 6),
+          array(length($"text")))).as("cuts"))
+      .select($"doc_id", $"text",
+        explode(expr("""transform(cuts, (c, i) ->
+          |  struct(CASE WHEN i = 0 THEN 1 ELSE cuts[i-1] + 1 END AS start,
+          |         c AS fin))""".stripMargin)).as("ch"))
+      .select($"doc_id",
+        md5(expr("substring(text, ch.start, ch.fin - ch.start + 1)"))
+          .as("digest"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").filter(length($"text") >= 300)
+    val base = digests(docs)
+    val shifted = digests(docs.withColumn("text",
+      concat(lit("INSERTED PREFIX EDIT "), $"text")))
+    val resynced = base.keys.count(k => (base(k) & shifted(k)).nonEmpty)
+    assert(resynced >= base.size * 2 / 3,
+      s"chunk digests must survive a prefix edit for most long docs " +
+        s"($resynced/${base.size} re-synced)")
+  }
+
   test("session_window emission equals the batch gap rule with eviction") {
     import spark.implicits._
     // batch recompute of the documented semantics: new session when the
