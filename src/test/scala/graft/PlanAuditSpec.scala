@@ -120,4 +120,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"))
   }
+
+  test("funnel broadcasts the per-user stage frames onto raw events") {
+    val p = executedPlan("q65_funnel")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "stage gating must never self-join raw events")
+  }
+
+  test("semdedup compares within clusters via an equi-join, never corpus-wide") {
+    val p = executedPlan("d12_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the cluster key must drive a hash join — pairwise only inside buckets")
+  }
+
+  test("interval window needs exactly one user_id hash shuffle") {
+    val p = executedPlan("q67_interval_window").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"count+sum share the (user_id, ts) window sort; got $hashExchanges:\n$p")
+  }
+
+  test("content-defined chunk boundaries stay inside whole-stage codegen") {
+    val p = executedPlan("m4_cdc_chunks")
+    assert(p.contains("cdc_cuts"))
+    assert(p.contains("*("))
+  }
 }
