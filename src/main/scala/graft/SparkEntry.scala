@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.ExtensionQueries.queries ++
       graft.queries.Round3Queries.queries ++
       graft.queries.Round4Queries.queries ++
-      graft.queries.Round5Queries.queries
+      graft.queries.Round5Queries.queries ++
+      graft.queries.Round6Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.ExtensionQueries.oracles ++
       graft.queries.Round3Queries.oracles ++
       graft.queries.Round4Queries.oracles ++
-      graft.queries.Round5Queries.oracles
+      graft.queries.Round5Queries.oracles ++
+      graft.queries.Round6Queries.oracles
 }

@@ -63,6 +63,62 @@ object Graph {
     result
   }
 
+  /** Exact triangle count by node-ordered wedge join (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer"). Edges
+    * are oriented low→high id, so each triangle {a<b<c} is generated
+    * exactly once as the wedge (a,b)+(b,c) closed by (a,c) — no
+    * double-counting and no post-hoc division. Cost is two hash joins:
+    * Σ deg² wedges then a probe into the edge set. At 100 TB scale the
+    * orientation is what tames skew — a hub node's wedges split across
+    * its *higher-id* neighbors only; orienting by (degree, id) instead of
+    * raw id tightens the bound further and drops in here unchanged. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e2.v").as("c"))
+    wedges.join(e.as("e3"),
+        col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Breadth-first shortest hop counts from `src`, capped at `maxDepth`.
+    * Classic distributed frontier BFS: each round joins the frontier with
+    * the adjacency list (one shuffle), anti-joins the visited set, and
+    * checkpoints to keep the plan flat. Rounds = eccentricity of `src`
+    * (≤ maxDepth), each touching only frontier-adjacent edges — the
+    * textbook Pregel iteration expressed as DataFrame joins. Returns
+    * (`n`, `d`) for every node within `maxDepth` hops (src included, d=0). */
+  def bfs(edges: DataFrame, aCol: String, bCol: String, src: Long,
+      maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = Seq((src, 0)).toDF("n", "d").localCheckpoint(true)
+    var frontier = visited.select(col("n"))
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(und, col("n") === col("u"))
+        .select(col("v").as("n")).distinct()
+        .join(visited, Seq("n"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(next.withColumn("d", lit(depth)).select(col("n"), col("d")))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
   /** One large-star round: every node hooks its larger neighbors onto the
     * minimum of its closed neighborhood. Input/output are canonical
     * undirected edges (u > v, no self loops). */

@@ -89,4 +89,30 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(col("cosv"), 6).as("cosine"), col("rk"))
   }
+
+  /** Exact top-k by *inner product* (MIPS) — the retrieval objective when
+    * embeddings carry magnitude (recommender/two-tower models score by
+    * dot, not angle). Brute force here: broadcast queries, one codegen'd
+    * dot pass over the corpus, per-query top-k. The classic scale path is
+    * the norm-augmentation reduction (Bachrach et al. 2014): append
+    * sqrt(maxNorm² − ‖x‖²) to each corpus vector and 0 to each query, and
+    * MIPS becomes cosine ANN — [[lshTopK]] then applies unchanged; the
+    * extra dimension is one array append in this same pipeline. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        Vectors.dotProduct(col("qv"), col("cv")).as("dp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dp").desc, col("cand_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("dp"), 6).as("dot"), col("rk"))
+  }
 }

@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Sixth batch: graph analytics over a co-occurrence graph (exact triangle
+  * count, frontier BFS), the remaining product-analytics staples (Markov
+  * event transitions, year-over-year growth, spend deciles), a hopping-
+  * window streaming aggregation, corpus-statistics text ops (Zipf fit,
+  * PMI collocations), max-inner-product search, and a whole-table column
+  * profiler.
+  *
+  * Reference scope: all reachable through the reference's open
+  * `transform.sql` DuckDB dialect (/root/reference/tools.py:58-65) or the
+  * LLM-pipeline extensions the build plan adds beyond reference parity;
+  * each is re-expressed as a declarative Spark plan.
+  */
+object Round6Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column, scale: Int = 4) = c.cast(DecimalType(18, scale))
+  private def dsum(c: Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  /** events.ts is int64 nanoseconds in parquet; both engines compare at
+    * microsecond resolution. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us",
+      timestamp_micros(expr("ts div 1000")))
+
+  /** The co-occurrence graph both graph queries run on: parts appearing in
+    * the same order are linked. Thinned to every-10th part so the graph
+    * stays sparse as sf grows (degree is what the Σdeg² wedge cost feeds
+    * on, and the full co-purchase graph densifies superlinearly). */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val pl = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    pl.as("x").join(pl.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+  }
+
+  // ── q69: Markov event transitions — P(next event type | event type) per
+  //        user timeline. One user_id window shuffle builds the (from, to)
+  //        pairs; the transition matrix is |types|² rows, so the
+  //        normalizing window runs over a tiny aggregate. ────────────────
+  def q69_markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = eventsTs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast(DoubleType) /
+          sum(col("n")).over(wt).cast(DoubleType), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // ── q70: exact triangle count on the co-purchase graph via node-ordered
+  //        wedge join (Graph.triangleCount) — each triangle generated once
+  //        as a low→high wedge closed by a semi-join probe. ──────────────
+  def q70_triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    val nNodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(nNodes)
+      .crossJoin(graft.operators.Graph.triangleCount(e, "u", "v"))
+  }
+
+  // ── q71: year-over-year monthly revenue — monthly DECIMAL totals, then
+  //        a self-join on month = prior month + 12 (gap-proof where a
+  //        lag(12) would misalign on missing months). The monthly frame is
+  //        tiny; everything after the first aggregation broadcasts. ──────
+  def q71_yoy(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(DateType).as("mon"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"))
+    val prv = m.select(col("mon").as("pmon"), col("revenue").as("prev_revenue"))
+    m.join(prv, col("mon") === add_months(col("pmon"), 12), "left")
+      .select(col("mon"), col("revenue"), col("prev_revenue"),
+        round((col("revenue") - col("prev_revenue")) /
+          col("prev_revenue"), 6).as("yoy_growth"))
+      .orderBy(col("mon"))
+  }
+
+  // ── q72: customer spend deciles — ntile(10) over per-customer totals.
+  //        The global-order window runs on the *aggregated* frame (one row
+  //        per customer), never raw orders; at 100 TB the same decile cut
+  //        would come from approx quantile boundaries instead of a single
+  //        sort partition, traded behind this operator's signature. ──────
+  def q72_decile(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_spend"),
+        min(col("spend")).as("min_spend"),
+        max(col("spend")).as("max_spend"))
+      .orderBy(col("decile"))
+  }
+
+  // ── q73: BFS shortest hops from the minimum-id node of the co-purchase
+  //        graph, capped at 4 rounds — the iterative frontier pattern
+  //        (join frontier × adjacency, anti-join visited, checkpoint)
+  //        that underlies every Pregel-style traversal. ──────────────────
+  def q73_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir).localCheckpoint(true)
+    val src = e.agg(min(col("u"))).head().getLong(0)
+    graft.operators.Graph.bfs(e, "u", "v", src, maxDepth = 4)
+      .orderBy(col("n"))
+  }
+
+  // ── e13: hopping-window streaming aggregation — 1 h windows sliding
+  //        every 15 min over the event stream (each event lands in 4
+  //        overlapping windows). Complete-mode memory sink, same harness
+  //        as e4; the oracle expands the 4 hop offsets explicitly, so the
+  //        built-in slide semantics (epoch-aligned starts) are
+  //        hash-proven. ──────────────────────────────────────────────────
+  def e13_stream_sliding(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val name = s"stream_sliding_${streamSeq.incrementAndGet()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts_us"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+    withStreamShuffle(s, 4) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .select(col("window.start").as("win_start"), col("n"),
+        col("total_value"))
+      .orderBy(col("win_start"))
+  }
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  // ── t13: Zipf's-law fit — least-squares slope/intercept of
+  //        log(frequency) on log(rank) over the corpus vocabulary
+  //        (natural text ≈ −1; synthetic/boilerplate corpora deviate, so
+  //        the slope is a corpus-health scalar). Per-term products round
+  //        to DECIMAL(28,12) before summing (t12's trick) so the sums are
+  //        order-independent and the SQL oracle reproduces them exactly.
+  //        The rank window runs over the vocabulary aggregate, not raw
+  //        tokens. ────────────────────────────────────────────────────────
+  def t13_zipf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val wc = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val xy = ranked.select(log(col("r")).as("x"), log(col("c")).as("y"))
+    def dsum12(c: Column) =
+      sum(round(c, 12).cast(DecimalType(28, 12))).cast(DoubleType)
+    val sums = xy.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum12(col("x")).as("sx"), dsum12(col("y")).as("sy"),
+      dsum12(col("x") * col("y")).as("sxy"),
+      dsum12(col("x") * col("x")).as("sxx"))
+    sums.select(
+        col("n").cast(LongType).as("n_types"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
+
+  // ── t14: PMI collocations — top-20 word bigrams by pointwise mutual
+  //        information (min count 5). Corpus-level unigram/bigram counts
+  //        are two token shuffles; the PMI join runs bigram→unigram twice
+  //        on the aggregated vocabulary, and ranking happens on the
+  //        *rounded* score so the order is engine-portable. ──────────────
+  def t14_pmi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val docs = t(s, dir, "documents")
+    val uni = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = docs.select(explode(Text.shingles(col("text"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+    val nTotal = docs.select(
+        sum(greatest(size(Text.tokens(col("text"))) - 1, lit(0))).as("nn"))
+    val scored = bi
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .withColumn("w2", element_at(split(col("b"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("b").as("bigram"), col("cb").as("n_xy"),
+        col("c1").as("n_x"), col("c2").as("n_y"),
+        round(log2((col("cb").cast(DoubleType) * col("nn").cast(DoubleType)) /
+          (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))), 6)
+          .as("pmi"))
+    scored.withColumn("rk",
+        row_number().over(Window.orderBy(col("pmi").desc, col("bigram")))
+          .cast(LongType))
+      .filter(col("rk") <= 20)
+      .orderBy(col("rk"))
+  }
+
+  // ── s6: exact max-inner-product top-k (Similarity.mipsTopK) — the
+  //        dot-product twin of s1 for magnitude-bearing embeddings, with
+  //        the norm-augmentation reduction documented on the operator as
+  //        the LSH scale path. ────────────────────────────────────────────
+  def s6_mips_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.mipsTopK(emb,
+        emb.filter(col("vec_id") % 100 === 50), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ── p20: whole-table column profiler — per column: rows, nulls, exact
+  //        distinct count, min/max (numerics canonicalized through
+  //        DECIMAL(18,2) so both engines print identical strings). One
+  //        aggregate pass (Spark plans the multi-distinct via Expand);
+  //        the unpivot runs on a single row. The everyday DQ
+  //        profiling op a pipeline runs before trusting a new feed. ──────
+  def p20_profile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "customer")
+    def minMax(c: String, numeric: Boolean): (Column, Column) =
+      if (numeric)
+        (min(col(c)).cast(DecimalType(18, 2)).cast(StringType),
+          max(col(c)).cast(DecimalType(18, 2)).cast(StringType))
+      else (min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+    val cols = Seq(
+      ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+      ("c_acctbal", true), ("c_mktsegment", false))
+    val aggs = cols.flatMap { case (c, num) =>
+      val (mn, mx) = minMax(c, num)
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__dist"),
+        mn.as(s"${c}__min"), mx.as(s"${c}__max"))
+    }
+    val one = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = cols.map { case (c, _) =>
+      s"'$c', ${c}__nulls, ${c}__dist, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_markov"         -> (q69_markov _),
+    "q70_triangles"      -> (q70_triangles _),
+    "q71_yoy"            -> (q71_yoy _),
+    "q72_decile"         -> (q72_decile _),
+    "q73_bfs_hops"       -> (q73_bfs_hops _),
+    "e13_stream_sliding" -> (e13_stream_sliding _),
+    "t13_zipf"           -> (t13_zipf _),
+    "t14_pmi"            -> (t14_pmi _),
+    "s6_mips_topk"       -> (s6_mips_topk _),
+    "p20_profile"        -> (p20_profile _))
+
+  private val edgesSql =
+    """pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |       FROM lineitem WHERE l_partkey % 10 = 0),
+      |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+      |      FROM pl x JOIN pl y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q69_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q70_triangles" ->
+      s"""WITH $edgesSql
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT u AS n FROM e UNION SELECT v FROM e)) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e e1
+        |     JOIN e e2 ON e1.v = e2.u
+        |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+    "q71_yoy" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |           AS DATE) AS mon,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT c.mon, c.revenue, p.revenue AS prev_revenue,
+        |  ROUND((c.revenue - p.revenue) / p.revenue, 6) AS yoy_growth
+        |FROM m c LEFT JOIN m p
+        |  ON c.mon = CAST(p.mon + INTERVAL 12 MONTH AS DATE)
+        |ORDER BY c.mon""".stripMargin,
+    "q72_decile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |dc AS (
+        |  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey)
+        |    AS decile
+        |  FROM spend)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  MIN(spend) AS min_spend, MAX(spend) AS max_spend
+        |FROM dc GROUP BY decile ORDER BY decile""".stripMargin,
+    "q73_bfs_hops" ->
+      s"""WITH RECURSIVE $edgesSql,
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |r(n, d) AS (
+        |  SELECT MIN(u), 0 FROM und
+        |  UNION
+        |  SELECT und.v, r.d + 1 FROM r JOIN und ON und.u = r.n
+        |  WHERE r.d < 4)
+        |SELECT n, MIN(d) AS d FROM r GROUP BY n ORDER BY n""".stripMargin,
+    "e13_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |x AS (
+        |  SELECT make_timestamp(
+        |      (epoch_us(ts) // 900000000) * 900000000
+        |        - CAST(k.k AS BIGINT) * 900000000) AS win_start,
+        |    value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT win_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t13_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM wc),
+        |xy AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x*y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(x*x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+        |  ROUND((sy - (sxy - sx*sy/n) / (sxx - sx*sx/n) * sx) / n, 6)
+        |    AS intercept
+        |FROM sums""".stripMargin,
+    "t14_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY 1),
+        |seq AS (
+        |  SELECT doc_id, pos, w,
+        |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |bi AS (
+        |  SELECT w || ' ' || w2 AS b, w AS w1, w2, COUNT(*) AS cb
+        |  FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 5),
+        |nn AS (SELECT COUNT(*) AS nn FROM seq WHERE w2 IS NOT NULL),
+        |scored AS (
+        |  SELECT b AS bigram, cb AS n_xy, u1.cu AS n_x, u2.cu AS n_y,
+        |    ROUND(log2((CAST(cb AS DOUBLE) * CAST(nn.nn AS DOUBLE)) /
+        |      (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))), 6) AS pmi
+        |  FROM bi JOIN uni u1 ON u1.w = bi.w1
+        |    JOIN uni u2 ON u2.w = bi.w2
+        |    CROSS JOIN nn),
+        |ranked AS (
+        |  SELECT bigram, n_xy, n_x, n_y, pmi,
+        |    ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rk
+        |  FROM scored)
+        |SELECT bigram, n_xy, n_x, n_y, pmi, rk FROM ranked
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "s6_mips_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+        |  FROM e q JOIN e c ON q.i = c.i
+        |  WHERE q.vec_id % 100 = 50 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, cand_id, ROUND(dot, 6) AS dot,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS rk
+        |  FROM dots)
+        |SELECT query_id, cand_id, dot, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "p20_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM customer)
+        |SELECT 'c_custkey' AS col_name, n.n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(CAST(MIN(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+        |  CAST(CAST(MAX(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+        |FROM customer, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'c_name', n.n_rows,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_name),
+        |  CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+        |FROM customer, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'c_nationkey', n.n_rows,
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey),
+        |  CAST(CAST(MIN(c_nationkey) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(MAX(c_nationkey) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM customer, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'c_acctbal', n.n_rows,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_acctbal),
+        |  CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM customer, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'c_mktsegment', n.n_rows,
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_mktsegment),
+        |  CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+        |FROM customer, n GROUP BY n.n_rows
+        |ORDER BY col_name""".stripMargin)
+}

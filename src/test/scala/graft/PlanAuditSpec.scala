@@ -147,4 +147,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cdc_cuts"))
     assert(p.contains("*("))
   }
+
+  test("triangle wedge join is hash-partitioned, never a nested loop") {
+    val p = executedPlan("q70_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("LeftSemi"), // the 1-row count crossJoins are fine
+      "the wedge and closing joins must be equi-joins")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("mips scan broadcasts the query side and prunes to (id, vec)") {
+    val p = plan("s6_mips_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the tiny query set must broadcast; the corpus must stream")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "the label column must be pruned out of the scan")
+  }
+
+  test("markov transitions reuse the user_id sort for the lead window") {
+    val p = executedPlan("q69_markov").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one shuffle for the user window, one for the (from, to) aggregate,
+    // one for the tiny normalizing window — never more
+    assert(hashExchanges <= 3, s"got $hashExchanges hash exchanges:\n$p")
+  }
+
+  test("profile runs as one scan: no join, no self-union of the table") {
+    val p = plan("p20_profile")
+    assert(!p.contains("Union"),
+      "per-column stats must come from a single aggregate pass, not " +
+        "one scan per column")
+  }
 }

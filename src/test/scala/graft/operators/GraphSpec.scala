@@ -76,6 +76,65 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force triangle truth: enumerate all id-ordered triples. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Long = {
+    val undirected = edges.filter(e => e._1 != e._2)
+      .flatMap { case (a, b) => Seq(math.min(a, b) -> math.max(a, b)) }
+      .toSet
+    val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      undirected((a, b)) && undirected((b, c)) && undirected((a, c))
+    }
+  }
+
+  test("triangle count matches brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(31)
+    (1 to 8).foreach { _ =>
+      val es = Seq.fill(60)((rnd.nextLong(15), rnd.nextLong(15)))
+        .filter { case (a, b) => a != b }
+      val got = Graph.triangleCount(es.toDF("a", "b"), "a", "b")
+        .collect()(0).getLong(0)
+      assert(got == naiveTriangles(es),
+        "wedge-join count must equal exhaustive triple enumeration")
+    }
+  }
+
+  test("triangle count: each triangle counted once despite shared endpoints") {
+    // two triangles sharing the edge (1,3): {1,2,3} and {1,3,4} — a
+    // semi-join that deduped (low, high) wedge endpoints would report 1
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+    val got = Graph.triangleCount(es.toDF("a", "b"), "a", "b")
+      .collect()(0).getLong(0)
+    assert(got == 2L)
+  }
+
+  test("bfs hop counts match Dijkstra truth and stop at maxDepth") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { _ =>
+      val es = Seq.fill(30)((rnd.nextLong(20), rnd.nextLong(20)))
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val src = es.map(_._1).min
+        // reference BFS
+        val dist = scala.collection.mutable.Map(src -> 0)
+        var frontier = Set(src)
+        var d = 0
+        while (frontier.nonEmpty && d < 3) {
+          d += 1
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .filterNot(dist.contains)
+          frontier.foreach(dist(_) = d)
+        }
+        val got = Graph.bfs(es.toDF("a", "b"), "a", "b", src, maxDepth = 3)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == dist.toMap,
+          "frontier BFS must return exactly the ≤maxDepth ball with min hops")
+      }
+    }
+  }
+
   test("bucketized range join equals naive join on random data") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>
