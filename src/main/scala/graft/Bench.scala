@@ -37,21 +37,28 @@ object Bench {
           explode(split(col("s"), "w")).as("e"))
         .filter(col("rn") > 0).count()
     }
-    // Two timed passes per query, report the min: a single pass is at the
-    // mercy of transient host contention (GC, co-tenant load, page cache
-    // misses); the min of two is a far more faithful steady-state number.
-    // If the first pass itself ran long (a heavily contended host), skip
-    // the second so total bench wall time stays bounded.
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val p1 = pass()
-    val results =
-      if (p1.map(_._2).sum > 150.0) p1
-      else p1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // Per-query timing policy (the "mode" field in the emitted JSON):
+    // every query is timed once; queries whose first pass came in under
+    // `rerunBudgetSec` are timed a second time and the min is reported.
+    // Sub-2s queries are the noise-dominated ones (GC pause, co-tenant
+    // load, page-cache miss ≈ their whole runtime), so min-of-two is what
+    // makes them comparable round-over-round; multi-second queries
+    // (streaming twins paying stream start/stop, heavy dedup) are
+    // signal-dominated and a second pass would only stretch bench wall
+    // time. The policy is per-query and deterministic — unlike a global
+    // wall-time cap, growing the suite cannot silently flip the
+    // measurement mode of unrelated queries.
+    val rerunBudgetSec = 2.0
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOne(fn)
+      name -> (if (a < rerunBudgetSec) math.min(a, timeOne(fn)) else a)
+    }
+    val mode = s"min2_under${rerunBudgetSec}s"
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // "12,345" and corrupt the JSON the harness parses
     def fmt(v: Double): String =
@@ -60,7 +67,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query detail first (for humans reading the log)...
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","mode":"$mode","queries":$qs,"sf":"$sfDir"}""")
     // ...then a compact headline line LAST. The harness that wraps sbt only
     // keeps the final ~2000 characters of stdout and parses the JSON line it
     // finds there; the full per-query map (79+ entries) no longer fits in
@@ -73,7 +80,7 @@ object Bench {
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,7 +158,14 @@ class Engine(
       case "csv" =>
         val path = load.filePath.getOrElse(
           throw new IllegalArgumentException("csv load requires file_path"))
-        CsvSink.writeSingleFile(transformed, path, load.includeHeader)
+        // partition_by opts out of the reference's exact-single-file
+        // contract into the scale path: a partition-parallel directory
+        // write (the coalesce(1) single-file sink is single-threaded by
+        // design and only fits the reference's ≤1 GiB envelope)
+        if (load.partitionBy.nonEmpty)
+          CsvSink.writeDirectory(transformed, path, load.includeHeader,
+            load.partitionBy)
+        else CsvSink.writeSingleFile(transformed, path, load.includeHeader)
       case "parquet" =>
         val path = load.filePath.getOrElse(
           throw new IllegalArgumentException("parquet load requires file_path"))

@@ -215,8 +215,11 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact jaccard (candidate set is small by
-    // construction, so this join is cheap)
-    val ds = docShingleSets(df, idCol, textCol, shingleN)
+    // construction, so this join is cheap). Checkpoint the compact set
+    // table — verifyPairs consumes it on BOTH join sides, and without the
+    // checkpoint the corpus is tokenized+shingled+hashed once per side
+    // (same reuse contract as ngramJaccard above).
+    val ds = docShingleSets(df, idCol, textCol, shingleN).localCheckpoint()
     val jac = col("inter").cast(DoubleType) /
       (col("na") + col("nb") - col("inter")).cast(DoubleType)
     verifyPairs(ds, candidates)
@@ -269,17 +272,34 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact
-    * cosine verification within buckets. Planes are seeded (deterministic
-    * across runs/executors). */
+    * cosine verification within buckets.
+    *
+    * Hyperplanes are *integer* vectors derived from a public LCG on the
+    * (plane, dimension) index — `coef(j,i) = ((1103515245·(j·dim+i)
+    * + 12345) mod 2001) − 1000` — and embeddings quantize to
+    * `round(x·10⁶)` longs, so each plane's dot product is exact 64-bit
+    * integer arithmetic: order-independent across partitions and
+    * reproducible bit-for-bit by any engine (the SQL oracle recomputes
+    * the buckets, turning this from a rows-only check into a full
+    * hash-match). Sign-random-projection only needs symmetrically
+    * distributed plane directions, which the LCG lattice provides. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Array[Array[Double]] =
-      Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val planes: Array[Seq[Long]] = Array.tabulate(nPlanes)(j =>
+      (0 until dim).map(i =>
+        ((1103515245L * (j.toLong * dim + i) + 12345L) % 2001L) - 1000L))
+    val quantized = transform(col("v"),
+      x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+    val bucket = (0 until nPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(col("q"), typedLit(planes(j)), (x, c) => x * c),
+        lit(0L), (a, y) => a + y)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", element_at(
-        graft.functions.NativeExprs.hyperplaneSigs(col("v"), planes, nPlanes), 1))
+      .withColumn("q", quantized)
+      .withColumn("bucket", bucket)
+      .drop("q")
     val cos = Vectors.cosine(col("x.v"), col("y.v"))
     bucketed.as("x")
       .join(bucketed.as("y"),

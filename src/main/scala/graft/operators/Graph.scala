@@ -119,6 +119,47 @@ object Graph {
     visited
   }
 
+  /** Fixed-iteration PageRank over an undirected edge set (each edge
+    * feeds both directions, so every node has out-degree ≥ 1 — no
+    * dangling mass to redistribute). Deterministic and oracle-checkable:
+    * each per-edge contribution rounds to DECIMAL(28,12) before the sum
+    * (order-independent across partitions) and each iteration's rank
+    * rounds to 12 decimals, so an unrolled SQL oracle reproduces the
+    * values bit-for-bit. Cost per iteration is one contribution join plus
+    * one (node) aggregate shuffle; `localCheckpoint` keeps the plan flat
+    * across iterations — the same discipline as [[bfs]] and
+    * [[starContraction]]. Returns (`node`, `r`). */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val und = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("u").as("node"),
+        round(lit(1.0) / n, 12).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = und
+        .join(ranks, col("u") === col("node"))
+        .join(deg, "u")
+        .select(col("v"),
+          round(col("r") / col("deg") * lit(damping), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      ranks = contrib.groupBy(col("v").as("node"))
+        .agg(sum(col("c")).cast(DoubleType).as("s"))
+        .select(col("node"), round(lit(base) + col("s"), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** One large-star round: every node hooks its larger neighbors onto the
     * minimum of its closed neighborhood. Input/output are canonical
     * undirected edges (u > v, no self loops). */

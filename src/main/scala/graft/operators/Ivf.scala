@@ -34,9 +34,16 @@ object Ivf {
   }
 
   /** Deterministic spherical k-means over an embedding column. Returns
-    * unit-norm centroids, `k × dim`. */
+    * unit-norm centroids, `k × dim`.
+    *
+    * The (id, vec) projection is localCheckpoint'ed up front: Lloyd runs
+    * `iters` full-corpus aggregates plus the init scan, and without the
+    * checkpoint every one of them re-reads and re-decodes the source scan.
+    * One materialization feeds them all (at cluster scale, persist the
+    * projection to storage instead and train once — see the object doc). */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
+    val proj = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
     val toDouble = (r: org.apache.spark.sql.Row) =>
       r.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -48,9 +55,9 @@ object Ivf {
     // zipWithIndex over the range-sorted rows stays distributed — a global
     // row_number() window would funnel the whole corpus through one
     // partition, which cannot survive a large corpus.
-    val n = corpus.count()
+    val n = proj.count()
     val step = math.max(1L, n / k)
-    var centroids: Array[Array[Double]] = corpus
+    var centroids: Array[Array[Double]] = proj
       .select(col(vecCol), col(idCol)).orderBy(col(idCol))
       .rdd.zipWithIndex()
       .filter(_._2 % step == 0)
@@ -59,7 +66,7 @@ object Ivf {
       .map(toDouble).map(l2normalize)
 
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(
+      val assigned = proj.select(
         NativeExprs.nearestCentroid(col(vecCol), centroids).as("cell"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       val means = assigned

@@ -675,6 +675,50 @@ object ExtensionQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // d5 recomputes the LSH buckets from the same public integer
+    // arithmetic the operator uses (LCG planes, round(x·1e6) quantization,
+    // exact BIGINT dot signs), then verifies cosine within buckets — the
+    // full LSH semantics are hash-checked, not just the exact twin.
+    "d5_embed_cosine_pairs" ->
+      """WITH raw AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS qx, i - 1 AS i
+        |  FROM raw),
+        |planes AS (
+        |  SELECT j.j, i.i,
+        |    ((1103515245 * (j.j * 64 + i.i) + 12345) % 2001) - 1000 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS j) j
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        |bits AS (
+        |  SELECT q.vec_id, p.j,
+        |    CASE WHEN SUM(q.qx * p.c) >= 0
+        |         THEN CAST(POWER(2, p.j) AS BIGINT) ELSE 0 END AS b
+        |  FROM q JOIN planes p ON p.i = q.i
+        |  GROUP BY q.vec_id, p.j),
+        |bkt AS (SELECT vec_id, SUM(b) AS bucket FROM bits GROUP BY 1),
+        |e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  JOIN bkt ba ON ba.vec_id = a.vec_id
+        |  JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+        |  FROM e GROUP BY 1)
+        |SELECT id_a, id_b, ROUND(dot/(na.nrm*nb.nrm), 6) AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE ROUND(dot/(na.nrm*nb.nrm), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d6_embed_cosine_exact" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i

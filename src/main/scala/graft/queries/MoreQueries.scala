@@ -531,14 +531,30 @@ object MoreQueries {
              |AS BIGINT)""".stripMargin).as("est_tokens"))
       .orderBy(col("doc_id"))
 
-  // ── a1: approximate aggregates (rows-only: sketch values are
-  //        engine-specific; accuracy asserted in ScalaTest) ───────────────
+  // ── a1: approximate aggregates, held to a *semantic* oracle. Raw sketch
+  //        values are engine-specific, so the checked output is the exact
+  //        anchors plus boundedness flags the oracle can predict: the HLL
+  //        estimate must sit within 3×rsd (rsd = 0.05 default) of the
+  //        exact distinct count, and the approx median (accuracy 10000 ⇒
+  //        rank error ≤ n/10000) must land between the exact 45th and 55th
+  //        percentiles. If a sketch ever drifts out of its published
+  //        bound, the flag flips to false and the hash check fails. ──────
   def a1_approx(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count_distinct(col("l_partkey")).as("exact_parts"),
+      count_distinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      approx_count_distinct(col("l_orderkey")).as("ao"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-        .as("median_price_approx"))
+        .as("am"),
+      expr("percentile(l_extendedprice, 0.45)").as("p45"),
+      expr("percentile(l_extendedprice, 0.55)").as("p55"))
+    .select(col("exact_parts"), col("exact_orders"),
+      (abs(col("ap") - col("exact_parts")) <=
+        col("exact_parts") * lit(0.15)).as("parts_ok"),
+      (abs(col("ao") - col("exact_orders")) <=
+        col("exact_orders") * lit(0.15)).as("orders_ok"),
+      (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_grouping_sets" -> (q16_grouping_sets _),
@@ -584,6 +600,14 @@ object MoreQueries {
     "a1_approx"         -> (a1_approx _))
 
   val oracles: Map[String, String] = Map(
+    // a1's contract: the exact anchors must match and every boundedness
+    // flag must be true — the oracle asserts the flags as literals, so a
+    // sketch drifting outside its published error bound hash-mismatches.
+    "a1_approx" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok
+        |FROM lineitem""".stripMargin,
     "q16_grouping_sets" ->
       """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
         | CAST(grouping(o_orderpriority) AS INT) AS g_prio,

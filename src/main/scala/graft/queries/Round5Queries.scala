@@ -297,9 +297,9 @@ object Round5Queries {
         min(when(col("rn") === 2, col("event_type"))),
         min(when(col("rn") === 3, col("event_type")))).as("path"))
     val cnt = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
-    cnt.withColumn("rk",
-        row_number().over(Window.orderBy(col("n").desc, col("path"))))
-      .filter(col("rk") <= 10)
+    // top-10 via orderBy().limit() = TakeOrderedAndProject: each partition
+    // keeps its local 10, the driver merges — no single-partition window
+    cnt.orderBy(col("n").desc, col("path")).limit(10)
       .select(col("path"), col("n"))
       .orderBy(col("n").desc, col("path"))
   }
@@ -310,7 +310,10 @@ object Round5Queries {
   //        complement of t11's repetition fractions. Per-term products
   //        round to DECIMAL(28,12) before summing so the aggregation is
   //        order-independent and the SQL oracle reproduces it bit-for-bit
-  //        under any partitioning. ──────────────────────────────────────
+  //        under any partitioning. Empty documents are filtered on both
+  //        sides: Spark's split(text, "") would yield one "" char row
+  //        (entropy 0) while the oracle's range expansion yields none —
+  //        the one degenerate input where the engines would diverge. ─────
   def t12_entropy(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
     def entropy(counted: DataFrame): DataFrame = counted
@@ -320,7 +323,7 @@ object Round5Queries {
           .cast(DecimalType(28, 12))).cast(DoubleType).as("s"))
       .select(col("doc_id"),
         round(log2(col("n")) - col("s") / col("n"), 6).as("h"))
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").filter(length(col("text")) > 0)
     val chars = entropy(docs
       .select(col("doc_id"), explode(split(col("text"), "")).as("x"))
       .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c")))
@@ -613,7 +616,8 @@ object Round5Queries {
         |SELECT path, n FROM ranked WHERE rk <= 10
         |ORDER BY n DESC, path""".stripMargin,
     "t12_entropy" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
         |ch AS (
         |  SELECT doc_id, unnest(list_transform(range(1, n + 1),
         |    i -> substr(text, CAST(i AS INT), 1))) AS x

@@ -99,17 +99,26 @@ object Round6Queries {
       .orderBy(col("mon"))
   }
 
-  // ── q72: customer spend deciles — ntile(10) over per-customer totals.
-  //        The global-order window runs on the *aggregated* frame (one row
-  //        per customer), never raw orders; at 100 TB the same decile cut
-  //        would come from approx quantile boundaries instead of a single
-  //        sort partition, traded behind this operator's signature. ──────
+  // ── q72: customer spend deciles — NTILE(10) semantics computed from a
+  //        *distributed* global rank (range-partitioned sort +
+  //        zipWithIndex, graft.operators.Rank) instead of a
+  //        single-partition ntile window: the first n%10 deciles take
+  //        ⌈n/10⌉ customers, the rest ⌊n/10⌋, reproduced arithmetically
+  //        from (rank, n). No stage sees more than its sort range. ───────
   def q72_decile(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice"), 2).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.withColumn("decile", ntile(10).over(w).cast(LongType))
+    val ranked = graft.operators.Rank.globalRank(spend, "p",
+      col("spend").desc, col("o_custkey"))
+    val total = ranked.agg(max(col("p")).as("nn"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr(
+        """CASE WHEN p <= (nn % 10) * (nn DIV 10 + 1)
+          |     THEN (p - 1) DIV (nn DIV 10 + 1) + 1
+          |     ELSE (nn % 10) + (p - 1 - (nn % 10) * (nn DIV 10 + 1))
+          |            DIV (nn DIV 10) + 1
+          |END""".stripMargin).cast(LongType))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend").cast(DecimalType(18, 2)))
@@ -129,6 +138,18 @@ object Round6Queries {
     graft.operators.Graph.bfs(e, "u", "v", src, maxDepth = 4)
       .orderBy(col("n"))
   }
+
+  // ── q74: PageRank on the co-purchase graph — 3 damped iterations of
+  //        Graph.pageRank (per-edge contributions rounded to
+  //        DECIMAL(28,12) before summing, per-iteration ranks rounded to
+  //        12 decimals), so the unrolled-CTE SQL oracle reproduces every
+  //        value exactly. Each iteration is one contribution join + one
+  //        node-keyed aggregate; checkpointed like bfs/starContraction. ──
+  def q74_pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(copurchaseEdges(s, dir), "u", "v",
+        iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("node"))
 
   // ── e13: hopping-window streaming aggregation — 1 h windows sliding
   //        every 15 min over the event stream (each event lands in 4
@@ -173,15 +194,16 @@ object Round6Queries {
   //        the slope is a corpus-health scalar). Per-term products round
   //        to DECIMAL(28,12) before summing (t12's trick) so the sums are
   //        order-independent and the SQL oracle reproduces them exactly.
-  //        The rank window runs over the vocabulary aggregate, not raw
-  //        tokens. ────────────────────────────────────────────────────────
+  //        A 100 TB corpus has a vocabulary far beyond one partition, so
+  //        the frequency rank is a distributed sort + zipWithIndex
+  //        (graft.operators.Rank), never a global row_number window. ─────
   def t13_zipf(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
     val wc = t(s, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val ranked = wc.withColumn("r",
-      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val ranked = graft.operators.Rank.globalRank(wc, "r",
+      col("c").desc, col("w"))
     val xy = ranked.select(log(col("r")).as("x"), log(col("c")).as("y"))
     def dsum12(c: Column) =
       sum(round(c, 12).cast(DecimalType(28, 12))).cast(DoubleType)
@@ -203,7 +225,10 @@ object Round6Queries {
   //        information (min count 5). Corpus-level unigram/bigram counts
   //        are two token shuffles; the PMI join runs bigram→unigram twice
   //        on the aggregated vocabulary, and ranking happens on the
-  //        *rounded* score so the order is engine-portable. ──────────────
+  //        *rounded* score so the order is engine-portable. The top-20 is
+  //        orderBy().limit() — TakeOrderedAndProject, a distributed
+  //        per-partition top-k merge; the rank number is assigned on the
+  //        20 surviving rows only. ──────────────────────────────────────
   def t14_pmi(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
     val docs = t(s, dir, "documents")
@@ -225,10 +250,10 @@ object Round6Queries {
         round(log2((col("cb").cast(DoubleType) * col("nn").cast(DoubleType)) /
           (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))), 6)
           .as("pmi"))
-    scored.withColumn("rk",
+    scored.orderBy(col("pmi").desc, col("bigram")).limit(20)
+      .withColumn("rk",
         row_number().over(Window.orderBy(col("pmi").desc, col("bigram")))
           .cast(LongType))
-      .filter(col("rk") <= 20)
       .orderBy(col("rk"))
   }
 
@@ -284,6 +309,7 @@ object Round6Queries {
     "q71_yoy"            -> (q71_yoy _),
     "q72_decile"         -> (q72_decile _),
     "q73_bfs_hops"       -> (q73_bfs_hops _),
+    "q74_pagerank"       -> (q74_pagerank _),
     "e13_stream_sliding" -> (e13_stream_sliding _),
     "t13_zipf"           -> (t13_zipf _),
     "t14_pmi"            -> (t14_pmi _),
@@ -354,6 +380,35 @@ object Round6Queries {
         |  SELECT und.v, r.d + 1 FROM r JOIN und ON und.u = r.n
         |  WHERE r.d < 4)
         |SELECT n, MIN(d) AS d FROM r GROUP BY n ORDER BY n""".stripMargin,
+    "q74_pagerank" -> {
+      // one unrolled damped iteration; arithmetic forced to DOUBLE
+      // everywhere (DuckDB's bare 0.85 literal is DECIMAL and would
+      // divide exactly where Spark divides in IEEE)
+      def iter(prev: String, curr: String): String =
+        s"""$curr AS (
+           |  SELECT und.v AS node,
+           |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |        / (SELECT n FROM nn) +
+           |      CAST(SUM(CAST(ROUND($prev.r / deg.deg
+           |          * CAST(0.85 AS DOUBLE), 12)
+           |        AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |  FROM und JOIN $prev ON $prev.node = und.u
+           |  JOIN deg ON deg.u = und.u
+           |  GROUP BY und.v)""".stripMargin
+      s"""WITH $edgesSql,
+         |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (
+         |  SELECT u AS node,
+         |    ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 12) AS r
+         |  FROM deg),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, ROUND(r, 6) AS pagerank FROM r3
+         |ORDER BY node""".stripMargin
+    },
     "e13_stream_sliding" ->
       """WITH e AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),

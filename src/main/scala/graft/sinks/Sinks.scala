@@ -35,11 +35,17 @@ object CsvSink {
     }
   }
 
-  /** The scale path: partition-parallel directory output. */
+  /** The scale path: partition-parallel directory output (one file per
+    * task, never a coalesce). Optional hive-style `partitionBy` columns
+    * give downstream readers partition pruning — this is the writer every
+    * `load.partition_by` plan routes through, whatever the format. */
   def writeDirectory(df: DataFrame, dir: String,
-      includeHeader: Boolean = true): String = {
-    df.write.option("header", includeHeader.toString)
-      .mode(SaveMode.Overwrite).csv(dir)
+      includeHeader: Boolean = true,
+      partitionBy: Seq[String] = Nil): String = {
+    val w = df.write.option("header", includeHeader.toString)
+      .mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .csv(dir)
     s"wrote $dir"
   }
 }

@@ -149,13 +149,35 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("triangle wedge join is hash-partitioned, never a nested loop") {
-    val p = executedPlan("q70_triangles")
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("LeftSemi"), // the 1-row count crossJoins are fine
-      "the wedge and closing joins must be equi-joins")
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
-      p.contains("ShuffledHashJoin"))
+    val p = executedPlan("q70_triangles").split("== Initial Plan ==")(0)
+    // exactly the two 1-row count crossJoins may plan as nested loops; a
+    // third would mean the wedge or closing join degenerated to pairwise
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"wedge/closing joins must be equi-joins; got $bnlj " +
+      s"nested-loop joins:\n$p")
+    // and the closing semi-join itself is a hash/sort-merge equi-join
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftSemi".r
+      .findFirstIn(p).isDefined, s"closing join must be an equi-semi-join:\n$p")
   }
+
+  test("corpus rankings never funnel through a single-partition window") {
+    // t13 (vocabulary rank) and q72 (decile rank) rank via a distributed
+    // range-sort + zipWithIndex (graft.operators.Rank); a global
+    // row_number window would reappear in the plan as a Window node
+    Seq("t13_zipf", "q72_decile").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n must rank via Rank.globalRank, not a global window:\n$p")
+    }
+    // t14/q68 top-k: orderBy().limit() = TakeOrderedAndProject, the
+    // distributed per-partition top-k merge
+    Seq("t14_pmi", "q68_event_path").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n top-k must plan as TakeOrderedAndProject:\n$p")
+    }
+  }
+
 
   test("mips scan broadcasts the query side and prunes to (id, vec)") {
     val p = plan("s6_mips_topk")

@@ -188,6 +188,31 @@ class EngineSpec extends SparkSpec {
     assert(back.filter(back("region") === "east").count() == 2)
   }
 
+  test("csv load with partition_by routes through the directory writer") {
+    val dir = tmpDir("csvpart")
+    val p = dir.resolve("in.csv")
+    Files.writeString(p,
+      "region,sku,price\neast,1,9.5\nwest,2,3.25\neast,3,70.0\n")
+    val out = dir.resolve("out_csv").toString
+    val res = new Engine(spark, new RecordingAlerter).run(
+      s"""source:
+         |  kind: csv
+         |  csv: {path: $p}
+         |transform:
+         |  sql: SELECT region, CAST(sku AS BIGINT) AS sku FROM input_df
+         |checks: {min_rows: 3}
+         |load: {to: csv, file_path: $out, partition_by: [region]}
+         |""".stripMargin)
+    assert(res.status == "ok", res.toJson)
+    // the scale boundary: partition_by means hive-partitioned directory
+    // output (parallel, prunable), never the coalesce(1) single file
+    val outPath = java.nio.file.Paths.get(out)
+    assert(Files.isDirectory(outPath), "partitioned load writes a directory")
+    assert(Files.exists(outPath.resolve("region=east")) &&
+      Files.exists(outPath.resolve("region=west")))
+    assert(spark.read.option("header", "true").csv(out).count() == 3)
+  }
+
   test("parse errors surface as failed result, not exceptions") {
     val res = new Engine(spark, new RecordingAlerter).run("not: [valid")
     assert(res.status == "failed" && res.error.isDefined)

@@ -135,6 +135,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference PageRank: dense driver-side iteration with the same
+    * rounding contract (contributions to 12 decimals, ranks to 12). */
+  private def naivePageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val n = adj.size
+    var rank = adj.keys.map(_ -> r12(1.0 / n)).toMap
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      adj.foreach { case (u, vs) =>
+        val c = BigDecimal(r12(rank(u) / vs.size * d))
+        vs.foreach(v => contrib(v) += c)
+      }
+      rank = adj.keys.map(v =>
+        v -> r12((1.0 - d) / n + contrib(v).toDouble)).toMap
+    }
+    rank
+  }
+
+  test("pagerank matches dense reference iteration and conserves mass") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { _ =>
+      val es = Seq.fill(40)((rnd.nextLong(15), rnd.nextLong(15)))
+        .filter { case (a, b) => a != b }
+      val got = Graph.pageRank(es.toDF("a", "b"), "a", "b",
+          iters = 3, damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = naivePageRank(es, iters = 3, d = 0.85)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (node, r) =>
+        assert(math.abs(r - want(node)) < 1e-9,
+          s"node $node: $r != ${want(node)}")
+      }
+      // total mass stays ~1 (undirected graphs have no dangling loss)
+      assert(math.abs(got.values.sum - 1.0) < 1e-6)
+      assert(got.values.forall(_ > 0))
+    }
+  }
+
   test("bucketized range join equals naive join on random data") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>

@@ -99,7 +99,12 @@ class Round6QueriesSpec extends SparkSpec {
 
   test("zipf fit has the canonical shape: negative slope, positive intercept") {
     val r = Round6Queries.t13_zipf(spark, sf).collect()(0)
-    assert(r.getLong(0) > 100, "vocabulary is non-trivial")
+    // n_types must be exactly the fixture's vocabulary, whatever its size
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(vocab > 1, "fixture has a usable vocabulary")
+    assert(r.getLong(0) == vocab, s"n_types ${r.getLong(0)} != vocab $vocab")
     assert(r.getDouble(1) < 0, "frequency falls with rank")
     assert(r.getDouble(2) > 0, "rank-1 log-frequency is positive")
   }
