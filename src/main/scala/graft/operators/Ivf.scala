@@ -42,8 +42,15 @@ object Ivf {
     * One materialization feeds them all (at cluster scale, persist the
     * projection to storage instead and train once — see the object doc). */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Array[Array[Double]] = {
-    val proj = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+      k: Int, iters: Int): Array[Array[Double]] =
+    trainOnProjection(corpus.select(col(idCol), col(vecCol)).localCheckpoint(),
+      idCol, vecCol, k, iters)
+
+  /** Training core over an already-materialized (id, vec) projection —
+    * lets [[topK]] share one checkpoint between training and the final
+    * cell assignment instead of scanning the source twice. */
+  private def trainOnProjection(proj: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     val toDouble = (r: org.apache.spark.sql.Row) =>
       r.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -89,9 +96,10 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, nCells: Int = 16, iters: Int = 3,
       nprobe: Int = 8): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val proj = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    val centroids = trainOnProjection(proj, idCol, vecCol, nCells, iters)
 
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val c = proj.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .withColumn("cell", NativeExprs.nearestCentroid(col("cv"), centroids))
 
     // per-query probe list: the nprobe cells with the largest query·centroid
