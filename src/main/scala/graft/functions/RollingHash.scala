@@ -88,6 +88,95 @@ object RollingMinHash {
     ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), k))
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+  * distinct minima of every `w`-window of consecutive `k`-gram
+  * Karp-Rabin hashes. The winnowing guarantee: any substring shared
+  * between two documents of length ≥ `k + w − 1` codepoints contributes
+  * at least one *identical* fingerprint to both — the local, offset-
+  * robust substring-match detector MOSS-style dedup builds on, at
+  * ~2/w the density of the full k-gram set. Same portable hash family
+  * as [[RollingMinHash]] (codepoints, polynomial mod 2^61-1), so a SQL
+  * oracle recomputes the exact fingerprint set with a windowed MIN.
+  * Returns the fingerprints sorted ascending. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.compute($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Static forwarder target for generated Java code. One pass for the
+    * k-gram hashes, one monotonic-deque pass for the window minima. */
+  def compute(s: String, k: Int, w: Int): GenericArrayData = {
+    val B = 1000003L
+    val M = RollingMinHash.M
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val kk = math.min(k, n)
+    val nh = n - kk + 1
+    val hs = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < kk) { h = RollingMinHash.mulmod(h, B) + cps(i); if (h >= M) h -= M; i += 1 }
+    hs(0) = h
+    var pow = 1L
+    i = 1
+    while (i < kk) { pow = RollingMinHash.mulmod(pow, B); i += 1 }
+    i = kk
+    while (i < n) {
+      val off = RollingMinHash.mulmod(cps(i - kk).toLong, pow)
+      h = h - off
+      if (h < 0) h += M
+      h = RollingMinHash.mulmod(h, B) + cps(i)
+      if (h >= M) h -= M
+      hs(i - kk + 1) = h
+      i += 1
+    }
+    // distinct minima over every full w-window of consecutive hashes
+    // (fewer than w hashes → one window spanning them all) — mirrors the
+    // SQL frame ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING evaluated at
+    // starts 1..max(nh-w+1, 1)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nh <= w) {
+      out.add(hs.min)
+    } else {
+      // monotonic deque of indices with increasing hash values
+      val dq = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < nh) {
+        while (!dq.isEmpty && hs(dq.peekLast()) >= hs(j)) dq.pollLast()
+        dq.addLast(j)
+        if (j >= w - 1) {
+          while (dq.peekFirst() < j - w + 1) dq.pollFirst()
+          out.add(hs(dq.peekFirst()))
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray.map(_.asInstanceOf[Any]))
+  }
+
+  /** Column form. */
+  def winnow(c: Column, k: Int = 8, w: Int = 16): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+}
+
 /** Content-defined chunk cut points: the 1-based end positions (in
   * codepoints) of every `w`-codepoint window whose Karp-Rabin hash is
   * ≡ 0 mod 2^maskBits — the boundary rule of content-defined chunking

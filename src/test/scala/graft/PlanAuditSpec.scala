@@ -196,6 +196,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges <= 3, s"got $hashExchanges hash exchanges:\n$p")
   }
 
+  test("winnow overlap joins only through the fingerprint posting list") {
+    val p = executedPlan("d13_winnow_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "candidate pairs must meet via the fp equi-join, never pairwise")
+  }
+
   test("profile runs as one scan: no join, no self-union of the table") {
     val p = plan("p20_profile")
     assert(!p.contains("Union"),
