@@ -73,6 +73,25 @@ object KernelProperties extends Properties("kernels") {
         sup <= sub // superstring's windows are a superset
     }
 
+  // ── winnowing: deque kernel equals the brute-force window-min set ──────
+  property("winnow fingerprints == brute-force window minima") =
+    forAll(Gen.alphaStr.suchThat(_.nonEmpty), Gen.choose(2, 10),
+      Gen.choose(2, 8)) { (s, k, w) =>
+      val got = WinnowFingerprints.compute(s, k, w).toLongArray().toSet
+      // reference: hash every k-gram the same way RollingMinHash does
+      // (kk = min(k, n)), then min per w-window of consecutive hashes
+      val cps = s.codePoints().toArray
+      val kk = math.min(k, cps.length)
+      val hs = (0 to cps.length - kk).map { i =>
+        cps.slice(i, i + kk).foldLeft(BigInt(0))((h, c) =>
+          (h * 1000003 + c) % BigInt(M)).toLong
+      }
+      val want =
+        if (hs.length <= w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      got == want
+    }
+
   // ── native hash kernels: determinism + shingle structure ────────────────
   property("tokenShingles count = max(tokens-n+1, 0)") =
     forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), Gen.choose(1, 5)) {
