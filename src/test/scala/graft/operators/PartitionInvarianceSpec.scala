@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SCALE.md's determinism claim, tested directly: operators whose naive
+  * formulations would be partitioning-sensitive (floating-point
+  * accumulation order, global ranking, LSH bucket signs) must return
+  * bit-identical results under adversarial repartitioning — the
+  * 1000-executor answer must equal the local[4] answer.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("pagerank is bit-identical across partitionings") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_partkey" % 10 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      .as("x").join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter($"l_partkey" % 10 === 0)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("u"), $"y.pk".as("v")).distinct()
+    val one = canon(Graph.pageRank(edges.repartition(1), "u", "v"))
+    val many = canon(Graph.pageRank(edges.repartition(13), "u", "v"))
+    assert(one == many, "per-edge DECIMAL rounding must make the node " +
+      "aggregate order-independent")
+  }
+
+  test("embedding LSH buckets and pairs are bit-identical across partitionings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val one = canon(Dedup.embeddingCosinePairs(
+      emb.repartition(1), "vec_id", "embedding", 64, 0.3, 4))
+    val many = canon(Dedup.embeddingCosinePairs(
+      emb.repartition(11), "vec_id", "embedding", 64, 0.3, 4))
+    assert(one == many, "integer plane dots must not depend on layout")
+  }
+
+  test("global rank assigns the same positions across partitionings") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", length($"text").as("n"))
+    val one = canon(Rank.globalRank(df.repartition(1), "r",
+      $"n".desc, $"doc_id"))
+    val many = canon(Rank.globalRank(df.repartition(7), "r",
+      $"n".desc, $"doc_id"))
+    assert(one == many,
+      "range sort + zipWithIndex must reproduce the total order")
+  }
+}

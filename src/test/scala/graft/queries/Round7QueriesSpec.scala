@@ -46,6 +46,7 @@ class Round7QueriesSpec extends SparkSpec {
 
   test("d13 pairs genuinely share fingerprints; overlap bounded by 1") {
     val rows = Round7Queries.d13_winnow_overlap(spark, sf).collect()
+    assert(rows.nonEmpty, "the fixture corpus contains near-dup pairs")
     val fps = spark.read.parquet(s"$sf/documents.parquet")
       .filter(length($"text") >= 16)
       .select($"doc_id", graft.functions.WinnowFingerprints
