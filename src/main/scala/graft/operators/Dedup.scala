@@ -258,6 +258,52 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Winnowing-fingerprint overlap pairs (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): documents sharing at least `minShared`
+    * winnowing fingerprints, scored by shared / min(fingerprint counts).
+    * The fingerprint set ([[graft.functions.WinnowFingerprints]]) is ~2/w
+    * the density of a full k-gram posting list while guaranteeing any
+    * shared run of ≥ k+w−1 codepoints yields a shared fingerprint — the
+    * substring-match detector Jaccard-style shingle overlap dilutes away
+    * on long documents.
+    *
+    * `maxDf` is the boilerplate guard for corpus scale: a fingerprint
+    * shared by millions of documents (a legal footer, a template header)
+    * would alone contribute df² candidate pairs, so postings longer than
+    * the cap are dropped before the pair join. Lossy only for pairs whose
+    * *every* shared fingerprint is that ubiquitous — which is the
+    * boilerplate relation the cap exists to ignore. `None` keeps the
+    * operator exact (the oracle-checked configuration). */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16, minShared: Long = 5,
+      maxDf: Option[Long] = None): DataFrame = {
+    val fps = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprints.winnow(col(textCol), k, w))
+          .as("fp"))
+      .localCheckpoint()
+    val posted = maxDf match {
+      case Some(cap) =>
+        val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("df0"))
+        fps.join(dfc.filter(col("df0") <= cap), "fp").select(col("id"), col("fp"))
+      case None => fps
+    }
+    val sized = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val pairs = posted.as("a")
+      .join(posted.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sized.select(col("id").as("id_a"), col("nfp").as("na")), "id_a")
+      .join(sized.select(col("id").as("id_b"), col("nfp").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType), 6).as("overlap"))
+  }
+
   /** Exact embedding near-dup pairs: every id_a < id_b pair scored by
     * cosine. Quadratic — this is the oracle baseline and the right tool
     * only for small/blocked inputs; [[embeddingCosinePairs]] is the scale

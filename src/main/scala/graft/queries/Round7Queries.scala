@@ -28,28 +28,10 @@ object Round7Queries {
   //        through stock phrases; k=16 isolates the true near-dup set).
   //        Candidates meet only through the fingerprint equi-join;
   //        nothing pairwise. ──────────────────────────────────────────
-  def d13_winnow_overlap(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.WinnowFingerprints
-    val fps = t(s, dir, "documents")
-      .filter(length(col("text")) >= 16)
-      .select(col("doc_id").as("id"),
-        explode(WinnowFingerprints.winnow(col("text"), 16, 16)).as("fp"))
-      .localCheckpoint()
-    val sized = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
-    val pairs = fps.as("a")
-      .join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 5)
-    pairs
-      .join(sized.select(col("id").as("id_a"), col("nfp").as("na")), "id_a")
-      .join(sized.select(col("id").as("id_b"), col("nfp").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("shared"),
-        round(col("shared").cast(DoubleType) /
-          least(col("na"), col("nb")).cast(DoubleType), 6).as("overlap"))
+  def d13_winnow_overlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.winnowOverlap(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, w = 16, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // ── t15: Flesch reading ease — 206.835 − 1.015·(words/sentences)
   //        − 84.6·(syllables/words), with sentences = [.!?]+ runs and

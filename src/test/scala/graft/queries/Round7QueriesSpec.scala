@@ -62,6 +62,32 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("maxDf caps boilerplate postings without touching rare-run pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    def randText(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = randText(120) // shared by EVERY doc — the mega-posting
+    val rareRun = randText(120) // shared by docs 1 and 2 only
+    val docs = (
+      Seq((1L, boiler + rareRun + randText(50)),
+        (2L, randText(50) + boiler + rareRun)) ++
+        (3L to 40L).map(i => (i, boiler + randText(100)))
+    ).toDF("doc_id", "text")
+    def pairs(maxDf: Option[Long]): Set[(Long, Long)] =
+      graft.operators.Dedup.winnowOverlap(docs, "doc_id", "text",
+          k = 16, w = 16, minShared = 3, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(5)) // boilerplate fps have df=40 > 5
+    // the rare-run pair survives the cap; boilerplate-only pairs do not
+    assert(capped.contains((1L, 2L)),
+      "a pair sharing a rare 120-char run must survive the df cap")
+    assert(uncapped.size > capped.size,
+      "boilerplate-only pairs must disappear under the cap")
+    assert(capped.subsetOf(uncapped), "the cap only removes pairs")
+  }
+
   test("t15 readability recomputes from its own counts") {
     val rows = Round7Queries.t15_readability(spark, sf).collect()
     assert(rows.nonEmpty)
