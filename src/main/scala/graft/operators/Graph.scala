@@ -160,6 +160,66 @@ object Graph {
     ranks
   }
 
+  /** Fixed-iteration PageRank over a *directed* edge set, with the part
+    * [[pageRank]]'s symmetrization sidesteps: **dangling-mass
+    * redistribution**. A node with no out-edges has nowhere to send its
+    * rank; the classic fix (Page et al. '99; what every web-graph
+    * deployment needs, since real crawls are full of sink pages) collects
+    * Σ rank(dangling) each iteration and folds `damping·dangling/n` into
+    * every node's base term, keeping total mass at 1.
+    *
+    * Deterministic and oracle-checkable by the same discipline as
+    * [[pageRank]]: per-edge contributions round to DECIMAL(28,12) before
+    * the sum, the dangling mass accumulates in DECIMAL, and each
+    * iteration's rank rounds to 12 decimals — so an unrolled SQL oracle
+    * reproduces every value bit-for-bit, independent of partitioning.
+    *
+    * Cost per iteration: the contribution join + node aggregate of
+    * [[pageRank]], plus one single-row aggregate over the dangling nodes
+    * (an anti-join against the out-degree table) that rides in as a
+    * broadcast — no driver round-trip. Returns (`node`, `r`) for every
+    * node appearing as source or target. */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("node"), round(lit(1.0) / n, 12).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val dang = ranks.join(outdeg, col("node") === col("u"), "left_anti")
+        .agg(coalesce(sum(col("r").cast(DecimalType(28, 12))),
+          lit(0).cast(DecimalType(28, 12))).as("dm"))
+        .select(col("dm").cast(DoubleType).as("dang"))
+      val contrib = e
+        .join(ranks, col("u") === col("node"))
+        .join(outdeg, "u")
+        .select(col("v"),
+          round(col("r") / col("deg") * lit(damping), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      val sums = contrib.groupBy(col("v").as("cnode"))
+        .agg(sum(col("c")).cast(DoubleType).as("s"))
+      ranks = nodes
+        .join(sums, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          round(lit(base) + lit(damping) * col("dang") / lit(n.toDouble) +
+            coalesce(col("s"), lit(0.0)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** One large-star round: every node hooks its larger neighbors onto the
     * minimum of its closed neighborhood. Input/output are canonical
     * undirected edges (u > v, no self loops). */

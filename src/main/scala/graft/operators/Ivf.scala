@@ -48,8 +48,9 @@ object Ivf {
 
   /** Training core over an already-materialized (id, vec) projection —
     * lets [[topK]] share one checkpoint between training and the final
-    * cell assignment instead of scanning the source twice. */
-  private def trainOnProjection(proj: DataFrame, idCol: String,
+    * cell assignment instead of scanning the source twice (and lets
+    * [[IvfIndex.build]] reuse the exact same deterministic training). */
+  private[operators] def trainOnProjection(proj: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     val toDouble = (r: org.apache.spark.sql.Row) =>
       r.getSeq[Any](0).map {
@@ -90,6 +91,20 @@ object Ivf {
     centroids
   }
 
+  /** Per-query probe list: the `nprobe` cell indexes with the largest
+    * query·centroid dot (shared by the transient [[topK]] and the
+    * persisted [[IvfIndex.topK]]). */
+  private[operators] def probeCells(qv: Column,
+      centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = (0 until centroids.length).map { i =>
+      struct(NativeExprs.dotProduct(qv,
+        typedLit(centroids(i).toSeq)).as("d"),
+        lit(i).as("cell"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+      .getField("cell")
+  }
+
   /** Exact-cosine top-k over the union of the `nprobe` nearest cells per
     * query. `nprobe` is the recall/cost knob: cells not probed are never
     * read — the point of IVF at scale. */
@@ -102,18 +117,9 @@ object Ivf {
     val c = proj.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .withColumn("cell", NativeExprs.nearestCentroid(col("cv"), centroids))
 
-    // per-query probe list: the nprobe cells with the largest query·centroid
-    def probeCells(qv: Column): Column = {
-      val scored = (0 until centroids.length).map { i =>
-        struct(NativeExprs.dotProduct(qv,
-          typedLit(centroids(i).toSeq)).as("d"),
-          lit(i).as("cell"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-    }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv")).getField("cell"))))
+      .withColumn("cell", explode(probeCells(col("qv"), centroids, nprobe))))
 
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -15,6 +15,63 @@ import org.apache.spark.sql.types._
   * Swapping in a real decoder (JNI codec, ONNX runtime, …) changes only
   * the marked function body — the distributed plumbing is unchanged.
   */
+/** The decode seam: everything a real media decoder must provide to slot
+  * into [[Multimodal]]'s distributed plumbing. Implementations must be
+  * serializable (they ship to executors) and should treat construction as
+  * cheap — per-partition session/codec state belongs in lazy members, so
+  * it initializes once per partition on the executor, never on the
+  * driver.
+  *
+  * A production deployment implements this with a JNI image library, an
+  * ONNX session, a Triton client …; [[StubMediaCodec]] is the
+  * deterministic fake this container uses (no codecs installed). The
+  * pipelines in [[Multimodal]] are codec-generic: swapping the
+  * implementation changes no plan shape, no schema, no partitioning.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Decode one payload and extract a fixed-dimension feature vector. */
+  def decodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float]
+
+  /** Score one batch of payloads (invoked once per batch — where a real
+    * model amortizes tensor transfer / session overhead). Must return one
+    * score per input, aligned. */
+  def scoreBatch(batch: Seq[Array[Byte]]): Seq[Double]
+}
+
+/** ==== STUB ====
+  * Deterministic fake codec: "features" are an exact Long fold of the
+  * payload bytes (order-independent accumulation, so external engines can
+  * recompute them for verification) and "scores" are a per-row codepoint
+  * fold (batch-shape-independent by construction — a batching bug would
+  * show up as an oracle mismatch). A real decoder replaces this object
+  * and nothing else. */
+object StubMediaCodec extends MediaCodec {
+
+  override def decodeFeatures(bytes: Array[Byte],
+      featureDim: Int): Array[Float] = {
+    // accumulate exactly in Long, divide once: the result is then
+    // independent of accumulation order (a float += per byte is not)
+    val sums = new Array[Long](featureDim)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % featureDim) += bytes(i) & 0xff
+      i += 1
+    }
+    sums.map(s => (s / 255.0).toFloat)
+  }
+
+  override def scoreBatch(batch: Seq[Array[Byte]]): Seq[Double] =
+    // codepoints (not raw UTF-8 bytes) keep the value recomputable by a
+    // SQL-side ord(substr(...)) oracle for any text — the same
+    // portability rule as polyHash/RollingMinHash
+    batch.map { bytes =>
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().asLongStream().sum()
+      (s % 997L) / 997.0
+    }
+}
+
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -40,37 +97,30 @@ object Multimodal {
   /** Partition-wise decode + feature extraction over binary payloads
     * (the `mapPartitions` shape a real decoder needs: per-partition codec
     * init, batched row iteration — the Scala analog of `mapInPandas`).
-    *
-    * ==== STUB ====
-    * A real implementation would decode `payload` with an image library
-    * and run a feature extractor. Unavailable in this container, so the
-    * "features" are a deterministic fold of the payload bytes with the
-    * declared dimensionality and batch shape of the real thing.
-    */
-  def decodeFeaturesStub(df: DataFrame, featureDim: Int = 16): DataFrame = {
+    * Codec-generic: the [[MediaCodec]] ships to executors as a closure
+    * reference; its lazy state initializes once per partition. */
+  def decodeFeatures(df: DataFrame, featureDim: Int,
+      codec: MediaCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition init would open the codec here (once, not per row)
+      // codec lazy state (a real codec's native session) opens here on
+      // first use — once per partition, never per row
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
-        // accumulate exactly in Long, divide once: the result is then
-        // independent of accumulation order (a float += per byte is not),
-        // so external engines can recompute it for verification
-        val sums = new Array[Long](featureDim)
-        var i = 0
-        while (i < bytes.length) {
-          sums(i % featureDim) += bytes(i) & 0xff
-          i += 1
-        }
-        val feats = sums.map(s => (s / 255.0).toFloat)
+        val feats =
+          codec.decodeFeatures(row.getAs[Array[Byte]](payloadIdx), featureDim)
         Row.fromSeq(row.toSeq :+ feats.toSeq)
       }
     }(enc)
   }
+
+  /** [[decodeFeatures]] with the container's [[StubMediaCodec]] (no real
+    * codecs installed here — see the trait doc). */
+  def decodeFeaturesStub(df: DataFrame, featureDim: Int = 16): DataFrame =
+    decodeFeatures(df, featureDim, StubMediaCodec)
 
   /** Deterministic frame-sampling plan for video-like payloads: selects
     * every `stride`-th frame index below `nFrames` — the bookkeeping a
@@ -97,39 +147,29 @@ object Multimodal {
 
   /** Batched model scoring over binary payloads — the Scala analog of
     * `mapInPandas` batch semantics: rows stream through each partition in
-    * `batchSize` groups, the "model" is invoked once per batch (where a
-    * real deployment amortizes tensor transfer / session overhead), and
-    * scores come back row-aligned.
-    *
-    * ==== STUB ====
-    * The per-batch model call is a deterministic per-row byte fold (so the
-    * result is engine-recomputable and independent of batch boundaries);
-    * a real ONNX/Triton client replaces only `runModelBatch`.
-    */
-  def scoreBatchedStub(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    * `batchSize` groups, the codec's `scoreBatch` is invoked once per
+    * batch (where a real deployment amortizes tensor transfer / session
+    * overhead), and scores come back row-aligned. Codec-generic like
+    * [[decodeFeatures]]. */
+  def scoreBatched(df: DataFrame, batchSize: Int,
+      codec: MediaCodec): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val outSchema = StructType(df.schema.fields :+
       StructField("score", DoubleType, nullable = false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
-    def runModelBatch(batch: Seq[Array[Byte]]): Seq[Double] =
-      // STUB model: per-row fold over the decoded text's Unicode
-      // codepoints, deliberately batch-shape-independent. Codepoints (not
-      // raw UTF-8 bytes) keep the value recomputable by a SQL-side
-      // ord(substr(...)) oracle for any text — the same portability rule
-      // as polyHash/RollingMinHash.
-      batch.map { bytes =>
-        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .codePoints().asLongStream().sum()
-        (s % 997L) / 997.0
-      }
     df.mapPartitions { rows =>
-      // per-partition init would create the model session here (once)
+      // per-partition model session opens on the codec's first use
       rows.grouped(batchSize).flatMap { batch =>
-        val scores = runModelBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        val scores =
+          codec.scoreBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
         batch.lazyZip(scores).map { (row, sc) => Row.fromSeq(row.toSeq :+ sc) }
       }
     }(enc)
   }
+
+  /** [[scoreBatched]] with the container's [[StubMediaCodec]]. */
+  def scoreBatchedStub(df: DataFrame, batchSize: Int = 32): DataFrame =
+    scoreBatched(df, batchSize, StubMediaCodec)
 }

@@ -581,6 +581,23 @@ object ExtensionQueries {
   private val bitPowers: String =
     (0 to 60).map(b => s"($b, ${1L << b})").mkString(", ")
 
+  /** B1^(j+1) mod 2^61-1 per plane j and B2^(i+1) mod 2^61-1 per dimension
+    * i — the two power tables from which DuckDB recomputes
+    * [[graft.operators.Dedup.lshPlaneCoef]]'s hyperplane coefficients in
+    * HUGEINT (d5 runs 4 planes over 64-dim embeddings). */
+  private val lshPlanePowers: String = {
+    import graft.operators.Dedup
+    (0 until 4).map(j =>
+      s"($j, ${BigInt(Dedup.LshB1).modPow(j + 1, Dedup.LshM)})")
+      .mkString(", ")
+  }
+  private val lshDimPowers: String = {
+    import graft.operators.Dedup
+    (0 until 64).map(i =>
+      s"($i, ${BigInt(Dedup.LshB2).modPow(i + 1, Dedup.LshM)})")
+      .mkString(", ")
+  }
+
   /** DuckDB oracles. Everything except a1 (HLL sketch — approximate by
     * contract) and d5 (bucket membership depends on seeded Gaussian
     * planes) is hash-checked; the portable mod-2^61-1 hash family makes
@@ -676,11 +693,14 @@ object ExtensionQueries {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     // d5 recomputes the LSH buckets from the same public integer
-    // arithmetic the operator uses (LCG planes, round(x·1e6) quantization,
-    // exact BIGINT dot signs), then verifies cosine within buckets — the
-    // full LSH semantics are hash-checked, not just the exact twin.
+    // arithmetic the operator uses (multiplicative mod-2^61-1 planes via
+    // the injected power tables, round(x·1e6) quantization, exact BIGINT
+    // dot signs), then verifies cosine within buckets — the full LSH
+    // semantics are hash-checked, not just the exact twin.
     "d5_embed_cosine_pairs" ->
-      """WITH raw AS (
+      s"""WITH pj(j, pj) AS (VALUES $lshPlanePowers),
+        |pi(i, pi) AS (VALUES $lshDimPowers),
+        |raw AS (
         |  SELECT vec_id, unnest(embedding) AS x,
         |    generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
@@ -689,10 +709,10 @@ object ExtensionQueries {
         |    AS qx, i - 1 AS i
         |  FROM raw),
         |planes AS (
-        |  SELECT j.j, i.i,
-        |    ((1103515245 * (j.j * 64 + i.i) + 12345) % 2001) - 1000 AS c
-        |  FROM (SELECT unnest(range(0, 4)) AS j) j
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        |  SELECT pj.j, pi.i,
+        |    CAST(((CAST(pj.pj AS HUGEINT) * CAST(pi.pi AS HUGEINT))
+        |      % 2305843009213693951) % 2001 - 1000 AS BIGINT) AS c
+        |  FROM pj CROSS JOIN pi),
         |bits AS (
         |  SELECT q.vec_id, p.j,
         |    CASE WHEN SUM(q.qx * p.c) >= 0

@@ -37,7 +37,7 @@ object Round6Queries {
     * the same order are linked. Thinned to every-10th part so the graph
     * stays sparse as sf grows (degree is what the Σdeg² wedge cost feeds
     * on, and the full co-purchase graph densifies superlinearly). */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val pl = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -109,6 +109,9 @@ object Round6Queries {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice"), 2).as("spend"))
+    // two consumers below (the max(p) aggregate and the crossJoin) re-run
+    // only the broadcast offset join over globalRank's internal
+    // checkpoint — the sort itself executes once
     val ranked = graft.operators.Rank.globalRank(spend, "p",
       col("spend").desc, col("o_custkey"))
     val total = ranked.agg(max(col("p")).as("nn"))

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Eighth batch — the persisted-artifact paths (the "at 100 TB you'd
+  * persist the index" half of the scale story, now real code):
+  *
+  *  - s7: ANN served from a prebuilt cell-partitioned IVF index — the
+  *    probe list prunes partitions instead of training at query time;
+  *  - d14: incremental cross-corpus dedup against a persisted shingle-set
+  *    artifact — the batch run never re-tokenizes the corpus;
+  *  - d13b: the *capped* winnowing configuration (the boilerplate guard
+  *    that matters at corpus scale) behind the hash gate, cap modeled in
+  *    the oracle;
+  *  - q75: directed PageRank with dangling-mass redistribution — the
+  *    fiddly part of web-graph ranking the undirected q74 sidesteps;
+  *  - p21/p22: CSV parity edge cases (RFC-4180 quoted fields with
+  *    embedded delimiters/newlines; alternate separator + ISO-8859-1
+  *    encoding — reference tools.py:257-258 exposes both knobs).
+  *
+  * The index artifacts build once per process per sf directory
+  * (deterministic content — rebuilds reproduce them bit-for-bit), so the
+  * bench's second pass measures pure query cost, which is the deployed
+  * shape: build amortizes across every query the artifact serves.
+  */
+object Round8Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    c.cast(DecimalType(18, scale))
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(dec(c, scale)).cast(DoubleType)
+
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  // ── s7: ANN top-k from the PERSISTED IVF index. Identical semantics and
+  //        oracle to s3 (same deterministic quantizer, nprobe = nCells on
+  //        this isotropic corpus), but the Lloyd iterations run once in
+  //        the artifact build, not per query, and the probed-cell list
+  //        reaches the scan as a PartitionFilter (PlanAuditSpec pins it) —
+  //        at 100 TB, unprobed cells' files are never opened. ───────────
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfBuilt.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.dir(s"s7_ivf_${sanitize(dir)}")
+      graft.operators.IvfIndex.build(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 16, iters = 3, out)
+      out
+    })
+
+  def s7_ann_ivf_persisted(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndexDir(s, dir)
+    graft.operators.IvfIndex.topK(s, idx,
+        t(s, dir, "embeddings").filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 16)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ── d14: incremental ingest against the PERSISTED posting artifact —
+  //        d9's semantics (odd ids = incoming batch, even ids = corpus)
+  //        with the corpus side read back from the shingle-set parquet
+  //        instead of re-tokenized: the batch run tokenizes only the
+  //        batch. Shares d9's oracle; PlanAuditSpec pins that documents
+  //        .parquet is scanned exactly once. ─────────────────────────────
+  private val postingsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusSetsDir(s: SparkSession, dir: String): String =
+    postingsBuilt.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.dir(s"d14_corpus_sets_${sanitize(dir)}")
+      graft.sinks.ParquetSink.write(
+        Dedup.shingleSets(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3),
+        out)
+      out
+    })
+
+  def d14_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val corpusSets = s.read.parquet(corpusSetsDir(s, dir))
+    val batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+    val best = Dedup.crossNgramJaccardAgainstSets(batch, corpusSets,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(min(col("id_b")).as("dup_of"))
+    batch.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── d13b: d13's winnowing overlap with the boilerplate cap ENGAGED
+  //        (maxDf = 5 — at sf0.01 this drops 22 fingerprints, including a
+  //        df=34 template string) and modeled in the oracle: postings
+  //        longer than the cap never reach the pair join, while the
+  //        overlap denominator stays the uncapped fingerprint count. The
+  //        scale knob itself is what hash-matches here. ─────────────────
+  def d13b_winnow_capped(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlap(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 16, minShared = 5, maxDf = Some(5L))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ── q75: directed PageRank with dangling-mass redistribution
+  //        (Graph.pageRankDirected) on the co-purchase edges read as
+  //        directed low→high arcs — every locally-maximal part is a sink,
+  //        so the dangling term is genuinely exercised. Same unrolled
+  //        DECIMAL-rounded oracle discipline as q74. ────────────────────
+  def q75_pagerank_directed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankDirected(
+        Round6Queries.copurchaseEdges(s, dir), "u", "v",
+        iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("node"))
+
+  // ── p21: RFC-4180 round-trip — fields with embedded delimiters, quotes
+  //        and NEWLINES survive the sink (escape=" → doubled quotes) and
+  //        the multiline reader; the oracle aggregates the same
+  //        construction straight from parquet, so a hash match proves the
+  //        quoting round-trip loses nothing. ───────────────────────────
+  def p21_csv_quoted_multiline(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(",\"\n"), col("c_mktsegment")).as("tricky"),
+        col("c_acctbal"))
+    val out = graft.Scratch.dir("p21_quoted.csv")
+    graft.sinks.CsvSink.writeSingleFile(sample, out,
+      options = Map("escape" -> "\""))
+    graft.sources.Sources.loadCsv(s, out, maxBytes = Long.MaxValue,
+        multiline = true)
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("tricky"))).cast(LongType).as("total_len"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  // ── p22: alternate separator + legacy encoding round-trip — pipe-
+  //        separated ISO-8859-1 with non-ASCII (but Latin-1-encodable)
+  //        characters through both the sink and the reference-compat
+  //        reader's (delimiter, encoding) knobs. ───────────────────────
+  def p22_csv_sep_encoding(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        concat(lit("café » "), col("n_name")).as("label"),
+        col("n_regionkey"))
+    val out = graft.Scratch.dir("p22_latin1.csv")
+    graft.sinks.CsvSink.writeSingleFile(sample, out,
+      options = Map("sep" -> "|", "encoding" -> "ISO-8859-1"))
+    graft.sources.Sources.loadCsv(s, out, maxBytes = Long.MaxValue,
+        delimiter = "|", encoding = "ISO-8859-1")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("label"))).cast(LongType).as("total_len"),
+        sum(col("n_regionkey")).cast(LongType).as("sum_region"))
+  }
+
+  /** Build the persisted artifacts (IVF index, corpus shingle sets) ahead
+    * of time — idempotent per process. The bench calls this in its warmup
+    * and reports the elapsed build time as its own JSON field: artifacts
+    * build once per deployment, so charging the build to whichever query
+    * happens to run first would measure neither the build (truncated by
+    * min-of-two) nor the serving cost (inflated). Returns seconds. */
+  def prebuildArtifacts(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    ivfIndexDir(s, dir)
+    corpusSetsDir(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_ann_ivf_persisted"    -> (s7_ann_ivf_persisted _),
+    "d14_incremental_dedup"   -> (d14_incremental_dedup _),
+    "d13b_winnow_capped"      -> (d13b_winnow_capped _),
+    "q75_pagerank_directed"   -> (q75_pagerank_directed _),
+    "p21_csv_quoted_multiline" -> (p21_csv_quoted_multiline _),
+    "p22_csv_sep_encoding"    -> (p22_csv_sep_encoding _))
+
+  /** B^(15-j) mod 2^61-1 for j=0..15 (B=1000003) — same Karp-Rabin window
+    * hash family as d13's oracle. */
+  private val winnowPowers: String = {
+    val M = BigInt(graft.functions.RollingMinHash.M)
+    (0 to 15).map(j => s"($j, ${BigInt(1000003).modPow(BigInt(15 - j), M)})")
+      .mkString(", ")
+  }
+
+  /** q75's unrolled oracle: one damped iteration with the dangling term.
+    * Arithmetic forced to DOUBLE exactly as the operator computes it
+    * (base, then + 0.85·dangling/n, then + contribution sum — left
+    * associative), contributions and the dangling mass in DECIMAL(28,12)
+    * so sums are order-independent. */
+  private def prIter(prev: String, curr: String): String =
+    s"""dang_$curr AS (
+       |  SELECT CAST(COALESCE(SUM(CAST($prev.r AS DECIMAL(28,12))),
+       |    CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS dang
+       |  FROM $prev LEFT JOIN od ON od.u = $prev.node
+       |  WHERE od.u IS NULL),
+       |c_$curr AS (
+       |  SELECT e.v AS node,
+       |    CAST(SUM(CAST(ROUND($prev.r / od.deg * CAST(0.85 AS DOUBLE), 12)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM e JOIN $prev ON $prev.node = e.u
+       |  JOIN od ON od.u = e.u
+       |  GROUP BY e.v),
+       |$curr AS (
+       |  SELECT nd.node,
+       |    ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |        / (SELECT n FROM nn)
+       |      + CAST(0.85 AS DOUBLE) * (SELECT dang FROM dang_$curr)
+       |        / (SELECT n FROM nn)
+       |      + COALESCE(c.s, CAST(0 AS DOUBLE)), 12) AS r
+       |  FROM nodes nd LEFT JOIN c_$curr c ON c.node = nd.node)""".stripMargin
+
+  private val edgesSql =
+    """pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |       FROM lineitem WHERE l_partkey % 10 = 0),
+      |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+      |      FROM pl x JOIN pl y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // identical result contract to the transient-index path
+    "s7_ann_ivf_persisted" -> ExtensionQueries.oracles("s3_ann_ivf_topk"),
+    // identical semantics to d9 — only the corpus side's physical source
+    // differs (persisted artifact vs re-tokenization)
+    "d14_incremental_dedup" -> ExtensionQueries.oracles("d9_cross_corpus_dedup"),
+    "d13b_winnow_capped" ->
+      s"""WITH pw(j, p) AS (VALUES $winnowPowers),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |      WHERE length(text) >= 16),
+        |win AS (SELECT doc_id, text, unnest(range(1, n - 14)) AS i FROM d),
+        |h AS (
+        |  SELECT w.doc_id, w.i,
+        |         SUM(CAST(ord(substr(w.text, CAST(w.i + pw.j AS INT), 1)) AS HUGEINT)
+        |             * CAST(pw.p AS HUGEINT)) % 2305843009213693951 AS hv
+        |  FROM win w CROSS JOIN pw
+        |  GROUP BY 1, 2),
+        |g AS (SELECT doc_id, i, hv,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS ng FROM h),
+        |m AS (
+        |  SELECT doc_id, i, ng,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM m
+        |        WHERE i <= GREATEST(ng - 15, 1)),
+        |dfc AS (SELECT fp, COUNT(*) AS df0 FROM sel GROUP BY 1),
+        |posted AS (SELECT sel.doc_id, sel.fp FROM sel
+        |           JOIN dfc ON dfc.fp = sel.fp WHERE dfc.df0 <= 5),
+        |sized AS (SELECT doc_id, COUNT(*) AS nfp FROM sel GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM posted a JOIN posted b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT id_a, id_b, shared,
+        |  ROUND(CAST(shared AS DOUBLE) /
+        |    CAST(LEAST(sa.nfp, sb.nfp) AS DOUBLE), 6) AS overlap
+        |FROM pairs JOIN sized sa ON sa.doc_id = id_a
+        |JOIN sized sb ON sb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q75_pagerank_directed" ->
+      s"""WITH $edgesSql,
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |od AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (
+        |  SELECT node,
+        |    ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 12) AS r
+        |  FROM nodes),
+        |${prIter("r0", "r1")},
+        |${prIter("r1", "r2")},
+        |${prIter("r2", "r3")}
+        |SELECT node, ROUND(r, 6) AS pagerank FROM r3
+        |ORDER BY node""".stripMargin,
+    "p21_csv_quoted_multiline" ->
+      """WITH s AS (
+        |  SELECT c_custkey,
+        |    c_name || ',"' || chr(10) || c_mktsegment AS tricky,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(length(tricky)) AS BIGINT) AS total_len,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM s""".stripMargin,
+    "p22_csv_sep_encoding" ->
+      """WITH s AS (
+        |  SELECT n_nationkey, 'café » ' || n_name AS label, n_regionkey
+        |  FROM nation)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(length(label)) AS BIGINT) AS total_len,
+        |  CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+        |FROM s""".stripMargin)
+}

@@ -12,9 +12,17 @@ object CsvSink {
     * coalesce(1) directory write + part-file move. The coalesce makes the
     * final write single-threaded by design — acceptable at the reference's
     * ≤1 GiB envelope; at cluster scale use [[writeDirectory]], which keeps
-    * one file per partition. */
+    * one file per partition.
+    *
+    * `options` passes through to the Spark CSV writer — the reference's
+    * `to_csv(sep=…, encoding=…)` surface (tools.py:257-258): e.g.
+    * `Map("sep" -> "|", "encoding" -> "ISO-8859-1", "escape" -> "\"")`
+    * (the last makes embedded quotes RFC-4180 doubled instead of
+    * backslash-escaped, which is what pandas/DuckDB expect to read
+    * back). */
   def writeSingleFile(df: DataFrame, path: String,
-      includeHeader: Boolean = true): String = {
+      includeHeader: Boolean = true,
+      options: Map[String, String] = Map.empty): String = {
     val target = Paths.get(path).toAbsolutePath
     Option(target.getParent).foreach(Files.createDirectories(_))
     val tmp = Files.createTempDirectory(
@@ -22,6 +30,7 @@ object CsvSink {
     try {
       df.coalesce(1).write
         .option("header", includeHeader.toString)
+        .options(options)
         .mode(SaveMode.Overwrite)
         .csv(tmp.toString)
       val part = Files.list(tmp).filter(p =>

@@ -21,7 +21,7 @@ object Sources {
     * stat. */
   def loadCsv(spark: SparkSession, path: String,
       maxBytes: Long = 1073741824L, delimiter: String = ",",
-      encoding: String = ""): DataFrame = {
+      encoding: String = "", multiline: Boolean = false): DataFrame = {
     val p = Paths.get(path)
     if (!Files.exists(p)) throw new java.io.FileNotFoundException(path)
     val size = Files.size(p)
@@ -32,6 +32,11 @@ object Sources {
       .option("inferSchema", "true")
       .option("nullValue", "NA")
       .option("sep", delimiter)
+    // RFC-4180 quoted fields spanning physical lines (pandas reads these
+    // by default; Spark's splittable line reader needs the opt-in). The
+    // escape option pairs with the writer's: doubled quotes, not
+    // backslashes.
+    if (multiline) r = r.option("multiLine", "true").option("escape", "\"")
     if (encoding.nonEmpty) r = r.option("encoding", encoding)
     r.csv(path)
   }

@@ -203,6 +203,26 @@ class PlanAuditSpec extends SparkSpec {
       "candidate pairs must meet via the fp equi-join, never pairwise")
   }
 
+  test("persisted IVF probe pushes the cell list as a partition filter") {
+    val p = plan("s7_ann_ivf_persisted")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      "the probed-cell predicate must prune index partitions")
+    assert(!p.contains("PushedFilters: [IsNotNull(cell)"),
+      "the cell predicate must not degrade to a row-level scan filter")
+  }
+
+  test("incremental dedup reads the corpus from the artifact, not the text") {
+    val p14 = plan("d14_incremental_dedup")
+    val p9 = plan("d9_cross_corpus_dedup")
+    assert(p14.contains("d14_corpus_sets"),
+      "the corpus side must scan the persisted shingle-set parquet")
+    def shingleOps(p: String) =
+      "token_shingles".r.findAllIn(p).length
+    assert(shingleOps(p14) < shingleOps(p9) && shingleOps(p14) >= 1,
+      "only the incoming batch may tokenize — the corpus side must not " +
+        s"(d14: ${shingleOps(p14)} shingle ops, d9: ${shingleOps(p9)})")
+  }
+
   test("profile runs as one scan: no join, no self-union of the table") {
     val p = plan("p20_profile")
     assert(!p.contains("Union"),

@@ -15,19 +15,27 @@ class PartitionInvarianceSpec extends SparkSpec {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("pagerank is bit-identical across partitionings") {
-    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+  private lazy val copurchase = spark.read.parquet(s"$sf/lineitem.parquet")
+    .filter($"l_partkey" % 10 === 0)
+    .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    .as("x").join(spark.read.parquet(s"$sf/lineitem.parquet")
       .filter($"l_partkey" % 10 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      .as("x").join(spark.read.parquet(s"$sf/lineitem.parquet")
-        .filter($"l_partkey" % 10 === 0)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("u"), $"y.pk".as("v")).distinct()
-    val one = canon(Graph.pageRank(edges.repartition(1), "u", "v"))
-    val many = canon(Graph.pageRank(edges.repartition(13), "u", "v"))
+      .as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+    .select($"x.pk".as("u"), $"y.pk".as("v")).distinct()
+
+  test("pagerank is bit-identical across partitionings") {
+    val one = canon(Graph.pageRank(copurchase.repartition(1), "u", "v"))
+    val many = canon(Graph.pageRank(copurchase.repartition(13), "u", "v"))
     assert(one == many, "per-edge DECIMAL rounding must make the node " +
       "aggregate order-independent")
+  }
+
+  test("directed pagerank with dangling mass is bit-identical across partitionings") {
+    val one = canon(Graph.pageRankDirected(copurchase.repartition(1), "u", "v"))
+    val many = canon(Graph.pageRankDirected(copurchase.repartition(13), "u", "v"))
+    assert(one == many, "the DECIMAL dangling-mass aggregate must be " +
+      "order-independent like the contribution sums")
   }
 
   test("embedding LSH buckets and pairs are bit-identical across partitionings") {
