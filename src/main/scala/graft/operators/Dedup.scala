@@ -199,6 +199,44 @@ object Dedup {
           col("a.sh") === col("b.sh")),
       threshold)
 
+  /** Posting-list view of a [[shingleSets]] artifact: (id, n_sh, sh) rows
+    * — what a streaming ingest joins its own shingles against (the
+    * stream-static join in e14). */
+  def postingList(sets: DataFrame): DataFrame = explodedShingles(sets)
+
+  /** Incremental MinHash+LSH dedup against the persisted index: the batch
+    * computes its own signatures; the corpus contributes its persisted
+    * [[minhashBands]] table (candidate generation — one (band, bh)
+    * equi-join) and its persisted [[shingleSets]] (exact verification).
+    * Corpus *text* never enters the plan — the ingest-time shape of LSH
+    * dedup at 100 TB, where the index tables are maintained across runs
+    * and only the batch is new. Emits (`id_a` from `newDf`, `id_b` from
+    * the corpus, `jaccard` ≥ threshold); exact verification makes the
+    * band parameters a pure recall knob, never a precision one. */
+  def crossMinhashLsh(newDf: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val qb = minhashBands(newDf, idCol, textCol, shingleN, numHashes, bands)
+    val candidates = qb.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val newSets = docShingleSets(newDf, idCol, textCol, shingleN)
+    val jac = col("inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    candidates
+      .join(newSets.select(col("id").as("id_a"), col("n_sh").as("na"),
+        col("shs").as("shs_a")), "id_a")
+      .join(corpusSets.select(col("id").as("id_b"), col("n_sh").as("nb"),
+        col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("inter"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
   /** MinHash signatures: per document, `numHashes` independent min-hashes
     * over its shingle multiset (min is duplicate-insensitive, so no
     * distinct pass is needed). Computed by the native
@@ -211,13 +249,15 @@ object Dedup {
         graft.functions.Text.shingles(col(textCol), shingleN), numHashes)
         .as("sig"))
 
-  /** MinHash + LSH near-dup pairs: signatures → `bands` band-hashes →
-    * bucket join on (band index, band hash) → exact Jaccard verification of
-    * the candidates only. Estimated-similar pairs that share no band are
-    * missed with probability (1-s^r)^b — the standard LSH trade. */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+  /** LSH band table for a corpus: one (id, band, bh) row per document per
+    * band — `bh` hashes the band's `numHashes/bands` signature slots.
+    * This is the *candidate-generation artifact*: persisted next to
+    * [[shingleSets]], it lets an incremental batch find its near-dup
+    * candidates with one equi-join against the index
+    * ([[crossMinhashLsh]]) — no corpus text, no corpus signatures at
+    * ingest time. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
@@ -225,9 +265,18 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
-    val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bs"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.bh"))
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures → `bands` band-hashes →
+    * bucket join on (band index, band hash) → exact Jaccard verification of
+    * the candidates only. Estimated-similar pairs that share no band are
+    * missed with probability (1-s^r)^b — the standard LSH trade. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val buckets = minhashBands(df, idCol, textCol, shingleN, numHashes, bands)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -223,6 +223,20 @@ class PlanAuditSpec extends SparkSpec {
         s"(d14: ${shingleOps(p14)} shingle ops, d9: ${shingleOps(p9)})")
   }
 
+  test("LSH incremental dedup joins both persisted artifacts, tokenizes only the batch") {
+    val p = plan("d15_lsh_incremental")
+    assert(p.contains("d15_corpus_bands") && p.contains("d14_corpus_sets"),
+      "candidates must come from the band artifact, verification from " +
+        "the shingle-set artifact")
+    // batch-side only: the signature path, the verify-set projection, and
+    // that projection's pushed-down not-null condition (d9's full
+    // recompute shows 8 — both sides, both paths)
+    val shingleOps = "token_shingles".r.findAllIn(p).length
+    assert(shingleOps >= 1 && shingleOps <= 3,
+      s"only the batch may shingle (signature + verify + pushed filter); " +
+        s"got $shingleOps token_shingles expressions")
+  }
+
   test("profile runs as one scan: no join, no self-union of the table") {
     val p = plan("p20_profile")
     assert(!p.contains("Union"),

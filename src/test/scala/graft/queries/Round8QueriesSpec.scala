@@ -26,6 +26,15 @@ class Round8QueriesSpec extends SparkSpec {
       "reading persisted shingle sets must be invisible to the result")
   }
 
+  test("LSH-index and streaming ingest paths also reproduce d9 exactly") {
+    val d9 = rows(ExtensionQueries.d9_cross_corpus_dedup(spark, sf))
+    assert(rows(Round8Queries.d15_lsh_incremental(spark, sf)) == d9,
+      "band candidates + exact verify must coincide with the " +
+        "exhaustive answer")
+    assert(rows(Round8Queries.e14_stream_ingest_dedup(spark, sf)) == d9,
+      "the streaming ingest join must compute exactly the batch answer")
+  }
+
   test("the winnow cap only removes evidence: capped pairs ⊆ uncapped, shared ≤") {
     val capped = Round8Queries.d13b_winnow_capped(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
