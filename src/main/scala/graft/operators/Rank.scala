@@ -29,26 +29,57 @@ object Rank {
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     // partition ID in the upper 31 bits, row-in-partition in the lower 33
     val rowMask = (1L << 33) - 1
-    val numbered = df.orderBy(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
-    // cumulative offsets: one row per partition to the driver, nothing else
-    var acc = 0L
-    val offsets = numbered
-      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-      .map { case (pid, n) => val o = (pid, acc); acc += n; o }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val numbered = sortedNumbered(df, order)
+    val offDf = partitionOffsets(numbered, count(lit(1)))
     numbered
-      .withColumn("__pid", shiftright(col("__mid"), 33))
       .join(offDf, "__pid")
       .withColumn(rankCol,
         col("__off") + col("__mid").bitwiseAND(lit(rowMask)) + lit(1L))
       .select(df.columns.map(col).toSeq :+ col(rankCol): _*)
+  }
+
+  /** Appends an inclusive global prefix sum of `value` (a LongType
+    * column) under the given total order — the classic parallel scan as a
+    * DataFrame operator, and the backbone of sequence packing
+    * ("concatenate the corpus, chop every C tokens"). Same two-level
+    * shape as [[globalRank]]: per-partition partial sums travel to the
+    * driver (one row per partition), and the within-partition running sum
+    * is a window *partitioned by the sort partition* — never a
+    * single-partition global window. */
+  def prefixSum(df: DataFrame, sumCol: String, value: Column,
+      order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val numbered = sortedNumbered(df, order)
+    val offDf = partitionOffsets(numbered, sum(value))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered
+      .join(offDf, "__pid")
+      .withColumn(sumCol, col("__off") + sum(value).over(w))
+      .select(df.columns.map(col).toSeq :+ col(sumCol): _*)
+  }
+
+  /** One range-partitioned sort, numbered and materialized exactly once;
+    * both passes (partial aggregate, final join) read the checkpoint. */
+  private def sortedNumbered(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .localCheckpoint()
+
+  /** Exclusive per-partition offsets of `agg` over the numbered frame:
+    * one row per partition to the driver, broadcast back. */
+  private def partitionOffsets(numbered: DataFrame,
+      agg: Column): DataFrame = {
+    var acc = 0L
+    val offsets = numbered
+      .groupBy(col("__pid")).agg(agg.cast("long").as("__n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val spark = numbered.sparkSession
+    import spark.implicits._
+    broadcast(offsets.toSeq.toDF("__pid", "__off"))
   }
 }

@@ -237,6 +237,13 @@ class PlanAuditSpec extends SparkSpec {
         s"got $shingleOps token_shingles expressions")
   }
 
+  test("sequence packing's prefix sum never funnels through one partition") {
+    val p = plan("p23_sequence_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the cumulative token count must run as partial sums + offsets, " +
+        s"not a global window:\n$p")
+  }
+
   test("profile runs as one scan: no join, no self-union of the table") {
     val p = plan("p20_profile")
     assert(!p.contains("Union"),

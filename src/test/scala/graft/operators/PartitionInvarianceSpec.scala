@@ -47,6 +47,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(one == many, "integer plane dots must not depend on layout")
   }
 
+  test("prefix sum is bit-identical across partitionings") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", length($"text").cast("long").as("n"))
+    val one = canon(Rank.prefixSum(df.repartition(1), "c", $"n", $"doc_id"))
+    val many = canon(Rank.prefixSum(df.repartition(7), "c", $"n", $"doc_id"))
+    assert(one == many,
+      "partial sums + offsets must reproduce the sequential scan")
+  }
+
   test("global rank assigns the same positions across partitionings") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", length($"text").as("n"))
