@@ -280,6 +280,7 @@ object Round8Queries {
     ivfIndexDir(s, dir)
     corpusSetsDir(s, dir)
     corpusBandsDir(s, dir)
+    Round4Queries.p18Tables(s, dir) // bucketed layout is an artifact too
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -71,11 +71,40 @@ object Round9Queries {
       .orderBy(col("pack"))
   }
 
+  // ── q76: GROUPING() disambiguation on grouping sets — the dialect
+  //        corner q16 leaves open: a NULL group key is ambiguous between
+  //        "the ALL row" and "a genuinely-NULL key" without the grouping
+  //        indicator; identical SQL text runs in both engines. ──────────
+  def q76_grouping_id(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_mixture_sample" -> (t16_mixture_sample _),
-    "p23_sequence_pack"  -> (p23_sequence_pack _))
+    "p23_sequence_pack"  -> (p23_sequence_pack _),
+    "q76_grouping_id"    -> (q76_grouping_id _))
 
   val oracles: Map[String, String] = Map(
+    "q76_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin,
     "t16_mixture_sample" ->
       """WITH d AS (
         |  SELECT source,

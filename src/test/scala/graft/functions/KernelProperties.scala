@@ -31,6 +31,25 @@ object KernelProperties extends Properties("kernels") {
       p.nonEmpty && !p.contains('%')
     }
 
+  // ── LSH plane coefficients (Dedup.lshPlaneCoef) ─────────────────────────
+  property("lsh plane coefficients are bounded and plane-distinct") =
+    forAll(Gen.choose(0, 63), Gen.choose(2, 512)) { (j, dim) =>
+      val coefs = (0 until dim).map(i => graft.operators.Dedup.lshPlaneCoef(j, i))
+      val next = (0 until dim).map(i => graft.operators.Dedup.lshPlaneCoef(j + 1, i))
+      coefs.forall(c => c >= -1000 && c <= 1000) &&
+        coefs != next // consecutive planes never coincide element-wise
+    }
+
+  property("lsh plane deltas are not constant (no affine shift structure)") =
+    forAll(Gen.choose(0, 30)) { j =>
+      // the old affine LCG made plane j+1 an element-wise shift of plane
+      // j (constant delta mod 2001); the multiplicative family must not
+      val deltas = (0 until 64).map(i =>
+        ((graft.operators.Dedup.lshPlaneCoef(j + 1, i) -
+          graft.operators.Dedup.lshPlaneCoef(j, i)) % 2001 + 2001) % 2001)
+      deltas.distinct.length > 8
+    }
+
   // ── env expansion ───────────────────────────────────────────────────────
   private val nameGen = Gen.identifier.suchThat(_.nonEmpty).map(_.take(10))
 
