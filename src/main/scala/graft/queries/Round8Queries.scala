@@ -26,6 +26,11 @@ import graft.operators.Dedup
   * (deterministic content — rebuilds reproduce them bit-for-bit), so the
   * bench's second pass measures pure query cost, which is the deployed
   * shape: build amortizes across every query the artifact serves.
+  *
+  * Reference scope: LLM-pipeline extensions beyond the reference
+  * surface, reachable through its open transform dialect
+  * (/root/reference/tools.py:58-65); the CSV knobs mirror the
+  * reference's to_csv sep/encoding surface (tools.py:257-258).
   */
 object Round8Queries {
 

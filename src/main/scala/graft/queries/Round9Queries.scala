@@ -13,6 +13,11 @@ import graft.Tables
   *  - p23: sequence packing — "concatenate the corpus, chop every C
   *    tokens" via a *distributed* prefix sum ([[graft.operators.Rank
   *    .prefixSum]]), never a single-partition window.
+  *
+  * Reference scope: extensions beyond the reference surface (same
+  * contract as the other d/t/p families — the reference's transform
+  * dialect is open, /root/reference/tools.py:58-65); q76 exercises a
+  * dialect corner of that open surface directly.
   */
 object Round9Queries {
 
