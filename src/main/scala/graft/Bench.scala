@@ -46,15 +46,19 @@ object Bench {
     // Per-query timing policy (the "mode" field in the emitted JSON):
     // every query is timed once; queries whose first pass came in under
     // `rerunBudgetSec` are timed a second time and the min is reported.
-    // Sub-2s queries are the noise-dominated ones (GC pause, co-tenant
-    // load, page-cache miss ≈ their whole runtime), so min-of-two is what
-    // makes them comparable round-over-round; multi-second queries
-    // (streaming twins paying stream start/stop, heavy dedup) are
-    // signal-dominated and a second pass would only stretch bench wall
-    // time. The policy is per-query and deterministic — unlike a global
-    // wall-time cap, growing the suite cannot silently flip the
-    // measurement mode of unrelated queries.
-    val rerunBudgetSec = 2.0
+    // Short queries are the noise-dominated ones (GC pause, co-tenant
+    // load, page-cache miss, one-time encoder/codegen compilation ≈ their
+    // whole runtime), so min-of-two is what makes them comparable
+    // round-over-round; genuinely multi-second queries (streaming twins
+    // paying stream start/stop, heavy dedup) are signal-dominated and a
+    // second pass would only stretch bench wall time. The 3 s budget sits
+    // above the observed cold-pass cost of the mapPartitions encoders
+    // (m1/m3 first pass ≈ 2.4 s cold, 0.6 s steady-state — a 2 s budget
+    // recorded the one-time codegen, not the query). The policy is
+    // per-query and deterministic — unlike a global wall-time cap,
+    // growing the suite cannot silently flip the measurement mode of
+    // unrelated queries.
+    val rerunBudgetSec = 3.0
     // A failed query reports the sentinel -1.0, never its elapsed time: a
     // query that throws instantly must read as "broken", not as the
     // suite's fastest entry. Failures are excluded from the total and

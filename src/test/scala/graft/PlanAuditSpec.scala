@@ -244,6 +244,25 @@ class PlanAuditSpec extends SparkSpec {
         s"not a global window:\n$p")
   }
 
+  test("decontamination broadcasts the eval grams; coverage windows stay doc-partitioned") {
+    val p = plan("d17_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval n-gram probe must be a broadcast (map-side) join — at " +
+        "100 TB the train side streams, the benchmark side fits in memory")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the islands windows must partition by doc_id, never globally:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LOO LM joins by n-gram key; the vocab scalar broadcasts") {
+    val p = plan("t18_loo_lm")
+    assert(!p.contains("CartesianProduct"),
+      "the |V| scalar must reach rows via a broadcast, not a cartesian")
+    // three dictionary joins (tri, (doc,bi), bi) — all hash equi-joins
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined)
+  }
+
   test("profile runs as one scan: no join, no self-union of the table") {
     val p = plan("p20_profile")
     assert(!p.contains("Union"),

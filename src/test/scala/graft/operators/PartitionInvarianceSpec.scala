@@ -56,6 +56,18 @@ class PartitionInvarianceSpec extends SparkSpec {
       "partial sums + offsets must reproduce the sequential scan")
   }
 
+  test("BPE merge choices are identical across partitionings") {
+    // integer pair counts + a total-order argmax (cnt desc, lft, rgt):
+    // nothing layout-sensitive may survive into the merge table
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val one = canon(Bpe.trainMerges(spark, words.repartition(1), 3))
+    val many = canon(Bpe.trainMerges(spark, words.repartition(13), 3))
+    assert(one == many, "weighted pair counts and lexicographic " +
+      "tie-breaks must make each round's argmax layout-independent")
+  }
+
   test("global rank assigns the same positions across partitionings") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", length($"text").as("n"))
