@@ -34,13 +34,13 @@ object Bpe {
 
   val Sep = "\u001f"
 
-  /** The first `rounds` BPE merges learned from `words` (columns `w`,
-    * `freq`): one row per round — (round, lft, rgt, merged, cnt). */
-  def trainMerges(spark: SparkSession, words: DataFrame,
-      rounds: Int): DataFrame = {
+  /** Training loop shared by [[trainMerges]] and [[segmented]]: the merge
+    * records plus the final per-word-type state (`w`, `freq`, `seq`). */
+  private def train(words: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // "abc" -> "§a§b§c§": every symbol wrapped by delimiters
     var state = words
-      .select(col("freq").cast(LongType).as("freq"),
+      .select(col("w"), col("freq").cast(LongType).as("freq"),
         concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep))
           .as("seq"))
       .localCheckpoint()
@@ -71,7 +71,27 @@ object Bpe {
       }
     }.takeWhile(_.isDefined).flatten.toSeq // stop when no pair remains
 
+    (merges, state)
+  }
+
+  /** The first `rounds` BPE merges learned from `words` (columns `w`,
+    * `freq`): one row per round — (round, lft, rgt, merged, cnt). */
+  def trainMerges(spark: SparkSession, words: DataFrame,
+      rounds: Int): DataFrame = {
     import spark.implicits._
-    merges.toDF("round", "lft", "rgt", "merged", "cnt")
+    train(words, rounds)._1.toDF("round", "lft", "rgt", "merged", "cnt")
+  }
+
+  /** The apply side of the tokenizer: train `rounds` merges, then return
+    * the per-word-type segmentation table (`w`, `freq`, `n_sym` — the
+    * post-merge symbol count). The whole corpus tokenizes by joining its
+    * exploded tokens against this vocabulary-sized dictionary — the same
+    * n-gram-keyed join shape as TF-IDF/t9, never a per-document loop. */
+  def segmented(spark: SparkSession, words: DataFrame,
+      rounds: Int): DataFrame = {
+    val (_, state) = train(words, rounds)
+    state.select(col("w"), col("freq"),
+      size(filter(split(col("seq"), Sep), x => x =!= lit("")))
+        .cast(LongType).as("n_sym"))
   }
 }

@@ -46,17 +46,50 @@ object Decontaminate {
   def report(docs: DataFrame, isEval: Column, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import graft.functions.Text
+    // one scan: positional n-grams for both splits, split by the predicate
     val grams = docs
       .select(col(idCol), isEval.as("__ev"),
         Text.tokenCount(col(textCol)).cast(LongType).as("n_tok"),
         posexplode(Text.shingles(col(textCol), n)).as(Seq("pos", "ng")))
-    val evalGrams = grams.where(col("__ev")).select(col("ng")).distinct()
+    val evalSet = grams.where(col("__ev")).select(col("ng")).distinct()
     val hits = grams.where(!col("__ev"))
-      .join(broadcast(evalGrams), "ng")
+      .join(broadcast(evalSet), "ng")
       .select(col(idCol), col("n_tok"), col("pos"),
         (col("pos") + lit(n - 1)).as("e"))
+    coverage(hits, idCol)
+  }
 
-    // interval union per doc: islands over (pos, e), then per-island extent
+  /** The eval split's DISTINCT n-gram set — the (small, broadcastable)
+    * static side of an ingest-time decontamination gate. */
+  def evalGrams(docs: DataFrame, isEval: Column, n: Int,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    docs.where(isEval)
+      .select(explode(Text.shingles(col(textCol), n)).as("ng"))
+      .distinct()
+  }
+
+  /** Collision rows (id, n_tok, pos, e) of `train` against a prepared
+    * eval n-gram set. `train` may be a STREAMING DataFrame: the probe is
+    * a stateless stream-static broadcast join, so decontamination runs at
+    * ingest time with zero state — [[coverage]] finishes the (tiny) hit
+    * set after the drain. */
+  def hitsAgainst(train: DataFrame, evalSet: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    train
+      .select(col(idCol),
+        Text.tokenCount(col(textCol)).cast(LongType).as("n_tok"),
+        posexplode(Text.shingles(col(textCol), n)).as(Seq("pos", "ng")))
+      .join(broadcast(evalSet), "ng")
+      .select(col(idCol), col("n_tok"), col("pos"),
+        (col("pos") + lit(n - 1)).as("e"))
+  }
+
+  /** Interval-union span coverage over hit rows (id, n_tok, pos, e):
+    * islands per doc, then per-island extents summed. Windows partition
+    * by the doc id — never global. */
+  def coverage(hits: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     val islands = hits

@@ -51,6 +51,67 @@ object Round10Queries {
     graft.operators.Bpe.trainMerges(s, words, rounds = 3)
   }
 
+  // ── e15: decontamination at STREAM-INGEST time — the incoming corpus
+  //        arrives through readStream and probes its positional n-grams
+  //        against the (static, broadcast) eval n-gram set: a stateless
+  //        stream-static join, so the gate runs with zero streaming state
+  //        at any corpus rate. The streaming aggregation only dedups hit
+  //        rows; the tiny drained hit set finishes through the same
+  //        interval-union coverage as d17 — and hash-matching d17's
+  //        oracle proves ingest-time decontamination computes exactly
+  //        the batch answer. ───────────────────────────────────────────
+  def e15_stream_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val name = s"stream_decontaminate_${streamSeq.incrementAndGet()}"
+    val evalSet =
+      graft.operators.Decontaminate.evalGrams(docs, col("doc_id") % 10 === 0, 4)
+    val stream = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 =!= 0)
+    val hits = graft.operators.Decontaminate.hitsAgainst(stream, evalSet, 4)
+      .groupBy(col("doc_id"), col("n_tok"), col("pos"))
+      .agg(max(col("e")).as("e"))
+    withStreamShuffle(s, 4) {
+      val q = hits.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Decontaminate.coverage(s.table(name))
+  }
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  // ── t19: BPE apply — tokenize the whole corpus with t17's learned
+  //        merges and report per-doc compression. The corpus never loops:
+  //        each word type carries its post-merge symbol count
+  //        ([[graft.operators.Bpe.segmented]]) and documents join their
+  //        exploded tokens against that vocabulary-sized dictionary —
+  //        the same n-gram-keyed join shape as t9/TF-IDF. ───────────────
+  def t19_bpe_apply(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val words = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val seg = graft.operators.Bpe.segmented(s, words, rounds = 3)
+    toks.join(seg.select(col("w"), col("n_sym")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("n_sym")).cast(LongType).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast(DoubleType) /
+          col("n_chars").cast(DoubleType), 6).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── t18: leave-one-out trigram LM score — per-doc average
   //        log P(w3 | w1 w2) where the doc's own occurrences are removed
   //        from both counts and add-one smoothing over the global type
@@ -94,9 +155,15 @@ object Round10Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_decontaminate" -> (d17_decontaminate _),
     "t17_bpe_train"     -> (t17_bpe_train _),
-    "t18_loo_lm"        -> (t18_loo_lm _))
+    "t18_loo_lm"        -> (t18_loo_lm _),
+    "t19_bpe_apply"     -> (t19_bpe_apply _),
+    "e15_stream_decontaminate" -> (e15_stream_decontaminate _))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = moreOracles ++ Map(
+    // the streaming ingest gate must compute exactly the batch answer
+    "e15_stream_decontaminate" -> moreOracles("d17_decontaminate"))
+
+  private lazy val moreOracles: Map[String, String] = Map(
     "d17_decontaminate" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS L
@@ -177,6 +244,69 @@ object Round10Queries {
         |UNION ALL SELECT 2, lft, rgt, lft || rgt, cnt FROM m2
         |UNION ALL SELECT 3, lft, rgt, lft || rgt, cnt FROM m3
         |ORDER BY round""".stripMargin,
+    "t19_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |s0 AS (
+        |  SELECT w, freq,
+        |    chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS seq
+        |  FROM words),
+        |l1 AS (SELECT freq, list_filter(string_split(seq, chr(31)),
+        |         x -> x <> '') AS L FROM s0),
+        |i1 AS (SELECT freq, L, unnest(range(1, len(L))) AS i FROM l1
+        |       WHERE len(L) >= 2),
+        |c1 AS (SELECT L[i] AS lft, L[i+1] AS rgt,
+        |         CAST(SUM(freq) AS BIGINT) AS cnt FROM i1 GROUP BY 1, 2),
+        |m1 AS (SELECT lft, rgt, cnt FROM c1 ORDER BY cnt DESC, lft, rgt
+        |       LIMIT 1),
+        |s1 AS (SELECT w, freq, replace(seq,
+        |         chr(31) || (SELECT lft FROM m1) || chr(31) ||
+        |           (SELECT rgt FROM m1) || chr(31),
+        |         chr(31) || (SELECT lft FROM m1) ||
+        |           (SELECT rgt FROM m1) || chr(31)) AS seq FROM s0),
+        |l2 AS (SELECT freq, list_filter(string_split(seq, chr(31)),
+        |         x -> x <> '') AS L FROM s1),
+        |i2 AS (SELECT freq, L, unnest(range(1, len(L))) AS i FROM l2
+        |       WHERE len(L) >= 2),
+        |c2 AS (SELECT L[i] AS lft, L[i+1] AS rgt,
+        |         CAST(SUM(freq) AS BIGINT) AS cnt FROM i2 GROUP BY 1, 2),
+        |m2 AS (SELECT lft, rgt, cnt FROM c2 ORDER BY cnt DESC, lft, rgt
+        |       LIMIT 1),
+        |s2 AS (SELECT w, freq, replace(seq,
+        |         chr(31) || (SELECT lft FROM m2) || chr(31) ||
+        |           (SELECT rgt FROM m2) || chr(31),
+        |         chr(31) || (SELECT lft FROM m2) ||
+        |           (SELECT rgt FROM m2) || chr(31)) AS seq FROM s1),
+        |l3 AS (SELECT freq, list_filter(string_split(seq, chr(31)),
+        |         x -> x <> '') AS L FROM s2),
+        |i3 AS (SELECT freq, L, unnest(range(1, len(L))) AS i FROM l3
+        |       WHERE len(L) >= 2),
+        |c3 AS (SELECT L[i] AS lft, L[i+1] AS rgt,
+        |         CAST(SUM(freq) AS BIGINT) AS cnt FROM i3 GROUP BY 1, 2),
+        |m3 AS (SELECT lft, rgt, cnt FROM c3 ORDER BY cnt DESC, lft, rgt
+        |       LIMIT 1),
+        |s3 AS (SELECT w, freq, replace(seq,
+        |         chr(31) || (SELECT lft FROM m3) || chr(31) ||
+        |           (SELECT rgt FROM m3) || chr(31),
+        |         chr(31) || (SELECT lft FROM m3) ||
+        |           (SELECT rgt FROM m3) || chr(31)) AS seq FROM s2),
+        |segd AS (
+        |  SELECT w, CAST(len(list_filter(string_split(seq, chr(31)),
+        |    x -> x <> '')) AS BIGINT) AS n_sym
+        |  FROM s3),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  ROUND(CAST(SUM(n_sym) AS DOUBLE) / SUM(length(w)), 6)
+        |    AS compression
+        |FROM tok JOIN segd USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t18_loo_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,

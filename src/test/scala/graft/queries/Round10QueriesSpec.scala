@@ -64,6 +64,16 @@ class Round10QueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "ab", 2L)))
   }
 
+  test("t19: segmentation counts reflect the learned merges") {
+    // merges learned on this fixture: bc, a+bc, abc+d (see the t17 test)
+    // => "abcd" tokenizes to 1 symbol, "abc" to 1, "bcd" to [bc, d] = 2
+    val words = Seq(("abcd", 2L), ("abc", 3L), ("bcd", 1L))
+      .toDF("w", "freq")
+    val seg = graft.operators.Bpe.segmented(spark, words, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(seg == Map("abcd" -> 1L, "abc" -> 1L, "bcd" -> 2L))
+  }
+
   test("t18: leave-one-out arithmetic on a hand example") {
     // d0,d1 identical "a b c"; d2 "a b d"; vocab = {a,b,c,d} so V=4.
     // d0's only trigram: C3=2, c3d=1; prefix bigram "a b": C2=3, c2d=1
