@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Round7Queries.queries ++
       graft.queries.Round8Queries.queries ++
       graft.queries.Round9Queries.queries ++
-      graft.queries.Round10Queries.queries
+      graft.queries.Round10Queries.queries ++
+      graft.queries.Round11Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Round7Queries.oracles ++
       graft.queries.Round8Queries.oracles ++
       graft.queries.Round9Queries.oracles ++
-      graft.queries.Round10Queries.oracles
+      graft.queries.Round10Queries.oracles ++
+      graft.queries.Round11Queries.oracles
 }

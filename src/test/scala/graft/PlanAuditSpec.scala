@@ -269,4 +269,25 @@ class PlanAuditSpec extends SparkSpec {
       "per-column stats must come from a single aggregate pass, not " +
         "one scan per column")
   }
+
+  test("k-means assignment broadcasts the centroids; no shuffled cartesian") {
+    val p = plan("s8_kmeans")
+    // the N×k distance evaluation must ride a broadcast of the k-row
+    // centroid table — the corpus side never shuffles for assignment
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroids must broadcast to the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "a shuffled cartesian over the corpus would be quadratic I/O")
+  }
+
+  test("NB scoring is a dictionary join; the model side broadcasts") {
+    val p = plan("t20_nb_langid")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-class token log-likelihoods are vocabulary-sized — they must " +
+        "reach the corpus as a broadcast (or keyed shuffle), never pairwise")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the per-doc argmax must stay doc-partitioned:\n$p")
+  }
 }
