@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Round8Queries.queries ++
       graft.queries.Round9Queries.queries ++
       graft.queries.Round10Queries.queries ++
-      graft.queries.Round11Queries.queries
+      graft.queries.Round11Queries.queries ++
+      graft.queries.Round12Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.Round8Queries.oracles ++
       graft.queries.Round9Queries.oracles ++
       graft.queries.Round10Queries.oracles ++
-      graft.queries.Round11Queries.oracles
+      graft.queries.Round11Queries.oracles ++
+      graft.queries.Round12Queries.oracles
 }

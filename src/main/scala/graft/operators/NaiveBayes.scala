@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * as TF-IDF (t7) and the trigram LM (t9), so the 100 TB argument is
   * identical. Training is two aggregates over the seed split.
   *
+  * The fit/scores split exists so a trained model can gate a STREAM:
+  * [[scores]] accepts a streaming DataFrame (the model sides join as
+  * broadcasts; the per-(doc, class) sum is the single streaming
+  * aggregation), e16 drains it and finishes the argmax batch-side —
+  * same drain-then-finish pattern as e15's decontamination gate.
+  *
   * Determinism: per-(doc, class) scores are `round(·, 6)` BEFORE the
   * argmax, so both engines argmax over identical values; ties break
   * toward the lexicographically smaller class label via struct-min
@@ -28,43 +34,68 @@ import org.apache.spark.sql.types._
   */
 object NaiveBayes {
 
-  /** Train on `isTrain` rows (add-one smoothing over the train
-    * vocabulary), score the rest: (id, pred, label, correct, score). */
-  def classify(docs: DataFrame, isTrain: Column, idCol: String,
-      textCol: String, labelCol: String): DataFrame = {
+  /** The trained model: `classes` (lg, n_docs, n_tok, v_sz, n_train —
+    * one row per class) and `cnt` (lg, w, cnt — vocabulary-sized). */
+  final case class NbModel(classes: DataFrame, cnt: DataFrame)
+
+  /** Train on the `isTrain` rows: class priors, per-class token totals,
+    * the train vocabulary size, and per-(class, token) counts. */
+  def fit(docs: DataFrame, isTrain: Column, textCol: String,
+      labelCol: String): NbModel = {
     import graft.functions.Text
-    val toks = docs.select(col(idCol).as("id"), isTrain.as("__tr"),
-      col(labelCol).as("label"), explode(Text.tokens(col(textCol))).as("w"))
-    val train = toks.where(col("__tr"))
-    val trainDocs = docs.where(isTrain)
-
-    val nTrain = trainDocs.agg(count(lit(1)).as("n_train"))
-    val prior = trainDocs.groupBy(col(labelCol).as("lg"))
+    val train = docs.where(isTrain)
+    val toks = train.select(col(labelCol).as("label"),
+      explode(Text.tokens(col(textCol))).as("w"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val prior = train.groupBy(col(labelCol).as("lg"))
       .agg(count(lit(1)).as("n_docs"))
-    val ntok = train.groupBy(col("label").as("lg"))
+    val ntok = toks.groupBy(col("label").as("lg"))
       .agg(count(lit(1)).as("n_tok"))
-    val voc = train.agg(countDistinct(col("w")).as("v_sz"))
-    val cnt = train.groupBy(col("label").as("lg"), col("w"))
+    val voc = toks.agg(countDistinct(col("w")).as("v_sz"))
+    val cnt = toks.groupBy(col("label").as("lg"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+    NbModel(prior.join(ntok, "lg").crossJoin(voc).crossJoin(nTrain), cnt)
+  }
 
-    val classes = prior.join(ntok, "lg").crossJoin(voc).crossJoin(nTrain)
-    val scored = toks.where(!col("__tr")).select("id", "w")
-      .crossJoin(broadcast(classes))
-      .join(broadcast(cnt), Seq("lg", "w"), "left")
+  /** Per-(doc, class) add-one-smoothed log-scores, rounded to 6
+    * decimals: (id, lg, score). `docs` may be a STREAMING DataFrame —
+    * both model sides reach it as broadcast equi-joins (the class table
+    * via a constant key, folded by Catalyst) and the sum is the single
+    * streaming aggregation. */
+  def scores(docs: DataFrame, model: NbModel, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.Text
+    docs
+      .select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("w"), lit(1).as("__k"))
+      .join(broadcast(model.classes.withColumn("__k", lit(1))), "__k")
+      .join(broadcast(model.cnt), Seq("lg", "w"), "left")
       .select(col("id"), col("lg"), col("n_docs"), col("n_train"),
         log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType) /
           (col("n_tok") + col("v_sz")).cast(DoubleType)).as("lp"))
       .groupBy(col("id"), col("lg"), col("n_docs"), col("n_train"))
       .agg(round(log(col("n_docs").cast(DoubleType) /
         col("n_train").cast(DoubleType)) + sum(col("lp")), 6).as("score"))
+      .select(col("id"), col("lg"), col("score"))
+  }
 
-    val pred = scored
+  /** Argmax over the rounded scores: (id, pred, score); ties break
+    * toward the smaller class label. */
+  def argmax(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("id"))
       .agg(min(struct((-col("score")).as("ns"), col("lg").as("lg"),
         col("score").as("sc"))).as("best"))
       .select(col("id"), col("best.lg").as("pred"),
         col("best.sc").as("score"))
-    pred.join(docs.select(col(idCol).as("id"), col(labelCol).as("label")),
+
+  /** Train on `isTrain` rows (add-one smoothing over the train
+    * vocabulary), score the rest: (id, pred, label, correct, score). */
+  def classify(docs: DataFrame, isTrain: Column, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val model = fit(docs, isTrain, textCol, labelCol)
+    argmax(scores(docs.where(!isTrain), model, idCol, textCol))
+      .join(docs.select(col(idCol).as("id"), col(labelCol).as("label")),
         "id")
       .select(col("id"), col("pred"), col("label"),
         (col("pred") === col("label")).as("correct"), col("score"))

@@ -281,6 +281,25 @@ class PlanAuditSpec extends SparkSpec {
       "a shuffled cartesian over the corpus would be quadratic I/O")
   }
 
+  test("semdedup pair search is keyed by cluster id, never unbounded") {
+    val p = plan("d18_semdedup_kmeans")
+    assert(!p.contains("CartesianProduct"),
+      "the within-cluster pair join must be an equi-join on cluster, " +
+        "not an all-pairs cartesian")
+  }
+
+  test("epoch shuffle ranks without a single-partition window") {
+    val p = plan("p24_epoch_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the global position must come from the two-level rank:\n$p")
+  }
+
+  test("OOV report broadcasts the vocabulary to the token stream") {
+    val p = plan("t21_oov_rate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("NB scoring is a dictionary join; the model side broadcasts") {
     val p = plan("t20_nb_langid")
     assert(p.contains("BroadcastHashJoin"),
