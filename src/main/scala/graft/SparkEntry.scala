@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Round9Queries.queries ++
       graft.queries.Round10Queries.queries ++
       graft.queries.Round11Queries.queries ++
-      graft.queries.Round12Queries.queries
+      graft.queries.Round12Queries.queries ++
+      graft.queries.Round13Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Round9Queries.oracles ++
       graft.queries.Round10Queries.oracles ++
       graft.queries.Round11Queries.oracles ++
-      graft.queries.Round12Queries.oracles
+      graft.queries.Round12Queries.oracles ++
+      graft.queries.Round13Queries.oracles
 }

@@ -140,6 +140,21 @@ object NativeVec {
     s
   }
 
+  /** Exact squared L2 distance between two long arrays (quantized
+    * embeddings — the s8/s9/d18 convention). Pure integer arithmetic:
+    * order-independent, overflow-safe for round(x·10⁶) quantization up
+    * to ~2²⁰ dims. */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
   /** All hyperplane-sign LSH signatures for one vector in one pass.
     * `planes` is laid out `[table * bitsPerTable + bit]`; returns one
     * packed sign-bit long per table. */
@@ -253,6 +268,24 @@ sealed trait VecBinary extends BinaryExpression {
   protected def bFloat: Boolean = f(right)
 }
 
+/** Exact integer squared-L2 over quantized `array<bigint>` vectors —
+  * the k-means / PQ hot path as one tight codegen'd loop per row
+  * (zip_with + aggregate would walk the arrays through interpreted
+  * higher-order lambdas). */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2sq_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVec.l2sqLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeVec.l2sqLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLong =
+    copy(left = l, right = r)
+}
+
 case class DotProductF(left: Expression, right: Expression) extends VecBinary {
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -342,4 +375,6 @@ object NativeExprs {
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2sqLong(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -286,4 +286,43 @@ object Graph {
       .select(col("n"), coalesce(col("l"), col("n")).as("l"))
       .localCheckpoint(true)
   }
+
+  /** HITS hubs/authorities (Kleinberg 1999), unnormalized: `iters`
+    * alternating passes of a(v) = Σ_{u→v} h(u) then h(v) = Σ_{v→w} a(w)
+    * from h₀ ≡ 1. Skipping the usual L2 normalization keeps every score
+    * an exact BIGINT (the *ranking* is identical — normalization is a
+    * positive scalar per pass — and an oracle can replay the integer
+    * sums bit-for-bit; magnitudes grow like (Σdeg²)^iters, so keep
+    * `iters` small or renormalize externally at scale). Each pass is
+    * one keyed join + one aggregate — the exact shuffle shape of
+    * [[pageRankDirected]]; per-pass `localCheckpoint` keeps lineage
+    * O(1). Nodes with no out-edges have hub 0; no in-edges, authority 0.
+    *
+    * Returns (node, hub, authority) for every node in `edges`. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .distinct()
+      .localCheckpoint(true)
+    var h = nodes.select(col("n"), lit(1L).as("h"))
+    var a = nodes.select(col("n"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      a = e.join(h.withColumnRenamed("n", "u"), "u")
+        .groupBy(col("v").as("n")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
+      h = e.join(a.withColumnRenamed("n", "v"), "v")
+        .groupBy(col("u").as("n")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
+    }
+    nodes
+      .join(h, Seq("n"), "left").join(a, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("authority"))
+  }
 }

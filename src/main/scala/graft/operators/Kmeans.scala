@@ -45,11 +45,11 @@ object Kmeans {
       transform(col(vecCol),
         x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType)).as("v"))
 
-  /** Exact squared L2 distance between two quantized vectors — stays a
-    * codegen'd array fold, no explode. */
+  /** Exact squared L2 distance between two quantized vectors — a native
+    * codegen'd expression (one tight long loop per row; see
+    * [[graft.functions.NativeExprs.l2sqLong]]), no explode. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.NativeExprs.l2sqLong(a, b)
 
   /** Nearest-centroid assignment: (id, c, d2). `cent` (k rows of
     * (c, cv)) broadcasts; ties go to the smallest centroid id. */

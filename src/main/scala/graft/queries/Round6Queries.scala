@@ -319,7 +319,7 @@ object Round6Queries {
     "s6_mips_topk"       -> (s6_mips_topk _),
     "p20_profile"        -> (p20_profile _))
 
-  private val edgesSql =
+  private[queries] val edgesSql =
     """pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |       FROM lineitem WHERE l_partkey % 10 = 0),
       |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v

@@ -300,6 +300,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("k-means distances run as the native l2sq expression in codegen") {
+    val p = executedPlan("s8_kmeans")
+    assert(p.contains("l2sq_long"),
+      "assignment must use the codegen'd integer distance, not " +
+        "interpreted zip_with/aggregate lambdas")
+  }
+
+  test("PQ-ADC scans codes via broadcast lookup tables, never raw pairs") {
+    val p = plan("s9_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (subspace, code) distance-table join must be a broadcast " +
+        "equi-join — the corpus is scanned once in the compressed domain")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("HITS passes are keyed joins + aggregates, nothing global") {
+    val p = plan("q77_hits")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"score passes must shuffle on node keys only:\n$p")
+  }
+
   test("NB scoring is a dictionary join; the model side broadcasts") {
     val p = plan("t20_nb_langid")
     assert(p.contains("BroadcastHashJoin"),
