@@ -72,15 +72,26 @@ object Kmeans {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
         e => e.getField("cx")).as("cv"))
 
+  /** Centroids after `iters` updates over an already-quantized corpus. */
+  private def centroidsOf(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = q.where(col("id") < k)
+      .select(col("id").as("c"), col("v").as("cv"))
+    for (_ <- 1 to iters)
+      cent = update(q, cent).localCheckpoint() // k rows; truncates lineage
+    cent
+  }
+
+  /** The centroid table after `iters` Lloyd updates from the k
+    * lowest-id seeds: (c, cv) — the artifact an IVF/PQ build persists. */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    centroidsOf(quantized(emb, idCol, vecCol).localCheckpoint(), k, iters)
+
   /** `iters` Lloyd updates from the k lowest-id vectors, then the final
     * assignment: (id, c, d2) — cluster id = the seed vector's id. */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val q = quantized(emb, idCol, vecCol).localCheckpoint()
-    var cent = q.where(col("id") < k)
-      .select(col("id").as("c"), col("v").as("cv"))
-    for (_ <- 1 to iters)
-      cent = update(q, cent).localCheckpoint() // k rows; truncates lineage
-    assign(q, cent)
+    assign(q, centroidsOf(q, k, iters))
   }
 }

@@ -322,6 +322,15 @@ class PlanAuditSpec extends SparkSpec {
       s"score passes must shuffle on node keys only:\n$p")
   }
 
+  test("IVFADC prunes by probed cell and scans compressed codes only") {
+    val p = plan("s10_ivfadc")
+    // centroids/codebook/probe tables broadcast; the corpus-sized sides
+    // (codes, cells) meet only through keyed equi-joins
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "no all-pairs path may survive the cell pruning")
+  }
+
   test("NB scoring is a dictionary join; the model side broadcasts") {
     val p = plan("t20_nb_langid")
     assert(p.contains("BroadcastHashJoin"),
