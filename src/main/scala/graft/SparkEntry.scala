@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.Round11Queries.queries ++
       graft.queries.Round12Queries.queries ++
       graft.queries.Round13Queries.queries ++
-      graft.queries.Round14Queries.queries
+      graft.queries.Round14Queries.queries ++
+      graft.queries.Round15Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Round11Queries.oracles ++
       graft.queries.Round12Queries.oracles ++
       graft.queries.Round13Queries.oracles ++
-      graft.queries.Round14Queries.oracles
+      graft.queries.Round14Queries.oracles ++
+      graft.queries.Round15Queries.oracles
 }

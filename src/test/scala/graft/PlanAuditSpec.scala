@@ -322,6 +322,14 @@ class PlanAuditSpec extends SparkSpec {
       s"score passes must shuffle on node keys only:\n$p")
   }
 
+  test("substring runs meet through the gram join; islands stay pair-keyed") {
+    val p = plan("d19_substring_runs")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must meet only via the positional-gram equi-join")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the run windows must partition by (pair, diagonal):\n$p")
+  }
+
   test("IVFADC prunes by probed cell and scans compressed codes only") {
     val p = plan("s10_ivfadc")
     // centroids/codebook/probe tables broadcast; the corpus-sized sides
