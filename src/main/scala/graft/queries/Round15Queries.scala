@@ -27,10 +27,55 @@ object Round15Queries {
         "doc_id", "text", n = 8, minRunTokens = 12)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ── a3: Count-Min point estimates vs ground truth for the 20
+  //        heaviest part keys — the sketch is one d·w-cell aggregate
+  //        (mergeable across partitions by construction) and every
+  //        estimate is exact integer arithmetic the oracle replays;
+  //        `over` pins the no-undercount guarantee cell by cell. ───────
+  def a3_cms_counts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+    val cm = CountMin.sketch(keys, CountMin.DefaultFamily, w = 256)
+      .localCheckpoint() // consumed once per probe row set
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(20)
+    CountMin.estimate(exact.select(col("k")), cm,
+        CountMin.DefaultFamily, w = 256)
+      .join(exact, "k")
+      .select(col("k").as("part_key"), col("exact_cnt"), col("cm_est"),
+        (col("cm_est") >= col("exact_cnt")).as("over"))
+      .orderBy(col("exact_cnt").desc, col("part_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d19_substring_runs" -> (d19_substring_runs _))
+    "d19_substring_runs" -> (d19_substring_runs _),
+    "a3_cms_counts"      -> (a3_cms_counts _))
 
   val oracles: Map[String, String] = Map(
+    // the full sketch + min-of-cells estimates in exact BIGINT
+    "a3_cms_counts" ->
+      """WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+        |fam(i, a, b) AS (VALUES (0, 1299709, 104729),
+        |                        (1, 15485863, 1999),
+        |                        (2, 32452843, 777767)),
+        |cells AS (
+        |  SELECT fam.i,
+        |    ((k * fam.a + fam.b) % 2305843009213693951) % 256 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM keys CROSS JOIN fam GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM keys
+        |  GROUP BY k ORDER BY exact_cnt DESC, k LIMIT 20),
+        |est AS (
+        |  SELECT e.k, MIN(COALESCE(c.cnt, 0)) AS cm_est
+        |  FROM exact e CROSS JOIN fam
+        |  LEFT JOIN cells c ON c.i = fam.i
+        |    AND c.b = ((e.k * fam.a + fam.b) % 2305843009213693951) % 256
+        |  GROUP BY e.k)
+        |SELECT e.k AS part_key, e.exact_cnt, est.cm_est,
+        |  est.cm_est >= e.exact_cnt AS over
+        |FROM exact e JOIN est ON est.k = e.k
+        |ORDER BY e.exact_cnt DESC, part_key""".stripMargin,
     "d19_substring_runs" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS L

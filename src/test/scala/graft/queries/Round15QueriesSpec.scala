@@ -37,6 +37,25 @@ class Round15QueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("a3: estimates are exact without collisions, overcounts never undercount") {
+    import graft.operators.CountMin
+    // separated keys: every cell holds one key -> min = exact count
+    val clean = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val fam2 = Seq((1L, 0L), (5L, 3L))
+    val cm = CountMin.sketch(clean, fam2, w = 8)
+    val est = CountMin.estimate(clean.distinct(), cm, fam2, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est == Map(1L -> 3L, 2L -> 1L))
+    // forced collision (single row, keys 8 apart at w=8): the shared
+    // cell reads 4 for both keys — an overcount, never an undercount
+    val fam1 = Seq((1L, 0L))
+    val coll = Seq(1L, 1L, 1L, 9L).toDF("k")
+    val cmC = CountMin.sketch(coll, fam1, w = 8)
+    val estC = CountMin.estimate(coll.distinct(), cmC, fam1, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(estC == Map(1L -> 4L, 9L -> 4L))
+  }
+
   test("d19: maxDf drops ubiquitous grams before the pair join") {
     // "a b c d e f g h" appears in all 3 docs (df=3) -> dropped at
     // cap 2; (0,1) survives on its remaining 2-gram diagonal (9 tokens)
