@@ -35,7 +35,9 @@ object SparkEntry {
       graft.queries.Round12Queries.queries ++
       graft.queries.Round13Queries.queries ++
       graft.queries.Round14Queries.queries ++
-      graft.queries.Round15Queries.queries
+      graft.queries.Round15Queries.queries ++
+      graft.queries.Round16Queries.queries ++
+      graft.queries.Round17Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +57,7 @@ object SparkEntry {
       graft.queries.Round12Queries.oracles ++
       graft.queries.Round13Queries.oracles ++
       graft.queries.Round14Queries.oracles ++
-      graft.queries.Round15Queries.oracles
+      graft.queries.Round15Queries.oracles ++
+      graft.queries.Round16Queries.oracles ++
+      graft.queries.Round17Queries.oracles
 }

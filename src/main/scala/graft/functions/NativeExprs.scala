@@ -79,6 +79,37 @@ object NativeHash {
     new GenericArrayData(sig.map(Long.box(_): Any))
   }
 
+  /** Multiplier base for the portable minhash family ([[minhashSigPortable]]). */
+  val PortableB2 = 1000033L
+
+  /** Portable MinHash signature: k min-hashes over a shingle array in the
+    * engine-portable mod-2^61-1 family — base hash `h0 = polyHash(shingle)`
+    * (codepoint polynomial), derived hash j = `(B2^(j+1) · h0) mod 2^61-1`.
+    * Pure modular integer arithmetic a SQL oracle replays exactly, unlike
+    * [[minhashSig]]'s FNV+splitmix family (which needs unsigned 2^64
+    * wraparound the oracle can't express). Min is duplicate-insensitive,
+    * so callers may pass the raw (multiset) shingle array. Empty set →
+    * 2^61-1 sentinel signature. */
+  def minhashSigPortable(shingles: ArrayData, k: Int): ArrayData = {
+    val M = RollingMinHash.M
+    val sig = Array.fill(k)(M)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = polyHash(shingles.getUTF8String(i).toString)
+      var p = 1L
+      var j = 0
+      while (j < k) {
+        p = RollingMinHash.mulmod(p, PortableB2)
+        val h = RollingMinHash.mulmod(p, h0)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(Long.box(_): Any))
+  }
+
   /** Polynomial token hash mod 2^61-1 (same family as
     * [[RollingMinHash]]): engine-portable — an external oracle can
     * recompute it with plain modular integer arithmetic, unlike
@@ -244,6 +275,17 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+case class MinHashSigPortable(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_portable"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHash.minhashSigPortable(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHash.minhashSigPortable($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigPortable = copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -369,6 +411,8 @@ object NativeExprs {
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  def minhashSigPortable(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigPortable(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def dotProduct(a: Column, b: Column): Column =

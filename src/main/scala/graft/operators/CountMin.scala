@@ -42,6 +42,38 @@ object CountMin {
       .groupBy(col("i"), col("b"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Join-size (inner-product) estimate from two sketches built with the
+    * SAME family and width (AMS/CM inner product, Cormode & Muthukrishnan
+    * 2005 §4.2): for each hash row i, Σ_b cntA(i,b)·cntB(i,b) ≥ |A ⋈ B|
+    * — hash collisions only ever ADD cross terms — and the min over the d
+    * rows is the tightest upper bound. Two d·w-cell tables in, ONE row
+    * out (`cm_join_est`): the 100 TB use is sizing a join (broadcast vs
+    * shuffle, partition count) from two tiny pre-aggregated sketches
+    * without touching either full table. The inner join on (i, b) is
+    * exact because a cell missing from either side contributes 0. */
+  def joinSizeEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame =
+    cmA.join(cmB.withColumnRenamed("cnt", "cntB"), Seq("i", "b"))
+      .groupBy(col("i"))
+      .agg(sum(col("cnt") * col("cntB")).as("ip"))
+      .agg(min(col("ip")).as("cm_join_est"))
+
+  /** Bloom-style membership over the (i, b) cell projection of a sketch
+    * (d rows of w bits — the same hashed cells, presence instead of
+    * counts): a probe key reports `bloom_hit` iff ALL d of its cells are
+    * occupied. False negatives are impossible (a member's cells are all
+    * set by construction); false positives occur at ~occupancy^d. The
+    * 100 TB use is the membership gate a pipeline ships instead of the
+    * key set itself — kilobytes of cells versus a join against the full
+    * dimension. Returns (k, bloom_hit). */
+  def membership(probe: DataFrame, cells: DataFrame,
+      family: Seq[(Long, Long)], w: Int): DataFrame =
+    probe.select(col("k"), posexplode(array(family.map { case (a, b) =>
+        bucket(col("k"), a, b, w) }: _*)).as(Seq("i", "b")))
+      .join(cells.select(col("i"), col("b"), lit(1).as("hit")),
+        Seq("i", "b"), "left")
+      .groupBy(col("k"))
+      .agg((count(col("hit")) === family.size).as("bloom_hit"))
+
   /** Point estimates for `probe` (column `k`): min over the d hashed
     * cells — (k, cm_est). Missing cells read as 0 (keys never seen). */
   def estimate(probe: DataFrame, cm: DataFrame,

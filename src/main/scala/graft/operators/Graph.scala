@@ -325,4 +325,45 @@ object Graph {
         coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("authority"))
   }
+
+  /** Single-source shortest paths over positive integer edge weights:
+    * distributed Bellman-Ford. Each round relaxes every edge with one
+    * (dist ⋈ edges on src) join plus a per-node min-aggregate — the
+    * keyed join/agg shuffle shape of [[pageRank]], so cost per round is
+    * one shuffle on `dst` however large the edge set — and stops early
+    * when a round improves no distance (rounds ≤ hop diameter ≤ |V|−1).
+    * `localCheckpoint` keeps each round reading the previous round's
+    * blocks, not a growing lineage; the dist side stays ≤ |V| rows and
+    * broadcasts under AQE while the edge side is the big relation.
+    * Exact integer distances — no floating point, so an unrolled SQL
+    * oracle replays every value. Edges (`src`, `dst`, `w` — w ≥ 1
+    * longs); returns (node, dist) for nodes reachable from `source`.
+    * Throws if the distances haven't stabilized after `maxIters` rounds
+    * (negative-weight semantics are out of scope). */
+  def sssp(edges: DataFrame, source: Long, maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var improved = 1L
+    var it = 0
+    while (improved > 0 && it < maxIters) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      improved = relaxed.as("n")
+        .join(dist.as("o"), col("n.node") === col("o.node"), "left")
+        .filter(col("o.node").isNull || col("n.dist") < col("o.dist"))
+        .count()
+      dist = relaxed
+      it += 1
+    }
+    if (improved > 0)
+      throw new IllegalStateException(s"sssp: not stable after $maxIters rounds")
+    dist
+  }
 }
