@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Round14Queries.queries ++
       graft.queries.Round15Queries.queries ++
       graft.queries.Round16Queries.queries ++
-      graft.queries.Round17Queries.queries
+      graft.queries.Round17Queries.queries ++
+      graft.queries.Round18Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Round14Queries.oracles ++
       graft.queries.Round15Queries.oracles ++
       graft.queries.Round16Queries.oracles ++
-      graft.queries.Round17Queries.oracles
+      graft.queries.Round17Queries.oracles ++
+      graft.queries.Round18Queries.oracles
 }

@@ -286,6 +286,25 @@ case class MinHashSigPortable(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): MinHashSigPortable = copy(child = c)
 }
 
+/** (a·b) mod 2^61-1 as a codegen'd binary expression — the 128-bit-split
+  * modular multiply ([[RollingMinHash.mulmod]]) lifted to column level, so
+  * integer hash chains can square/remix *within* whole-stage codegen
+  * (plain `a * b` overflows Long for 61-bit operands; an oracle replays
+  * the same product with 128-bit integers). */
+case class MulModP(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mulmod_p"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RollingMinHash.mulmod(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.RollingMinHash.mulmod($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): MulModP = copy(left = l, right = r)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -413,6 +432,8 @@ object NativeExprs {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
   def minhashSigPortable(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigPortable(ColumnBridge.expression(shingles), k))
+  def mulmodP(a: Column, b: Column): Column =
+    ColumnBridge.column(MulModP(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def dotProduct(a: Column, b: Column): Column =

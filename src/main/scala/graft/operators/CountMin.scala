@@ -30,8 +30,27 @@ object CountMin {
   val DefaultFamily: Seq[(Long, Long)] =
     Seq((1299709L, 104729L), (15485863L, 1999L), (32452843L, 777767L))
 
+  /** Second-stage remix constants shared by every family row. */
+  val A2: Long = 179424673L
+  val B2: Long = 15485867L
+
+  /** Mixing hash on [0, 2^61-1): `h1 = (k·a + b) mod P`, squared mod P,
+    * remixed affinely — `((h1² mod P)·A2 + B2) mod P`. The squaring is
+    * the load-bearing step: a purely affine map sends sequential keys to
+    * an arithmetic progression that never wraps at realistic key ranges,
+    * so bucket/rank/order statistics inherit the input's structure and
+    * every estimator built on them is silently biased (observed: KMV off
+    * by 10^5×, HLL by 2.1× on TPC-H part keys). The quadratic term
+    * scatters progressions across the field; an oracle replays the chain
+    * with 128-bit integers (`(h1*h1 % P * A2 + B2) % P` in HUGEINT). */
+  def mix61(k: Column, a: Long, b: Long): Column = {
+    import graft.functions.NativeExprs.mulmodP
+    val h1 = pmod(mulmodP(k, lit(a)) + lit(b), lit(P))
+    pmod(mulmodP(mulmodP(h1, h1), lit(A2)) + lit(B2), lit(P))
+  }
+
   private def bucket(k: Column, a: Long, b: Long, w: Int): Column =
-    pmod(pmod(k * lit(a) + lit(b), lit(P)), lit(w.toLong))
+    pmod(mix61(k, a, b), lit(w.toLong))
 
   /** The d×w counter table (i, b, cnt) for `keys` (a column named `k`,
     * non-negative longs). One aggregate; d·w cells. */

@@ -366,4 +366,42 @@ object Graph {
       throw new IllegalStateException(s"sssp: not stable after $maxIters rounds")
     dist
   }
+
+  /** Widest (maximum-bottleneck) path from `source`: cap(v) = max over
+    * paths of the minimum edge weight — the capacity-planning dual of
+    * [[sssp]], relaxing with max(min(cap(u), w)) instead of min(cap(u)+w).
+    * Same shuffle shape (one relax join + one per-node aggregate per
+    * round, early exit on stability); caps only grow and take values from
+    * the finite weight set, so convergence is ≤ |V|−1 rounds. The source
+    * reports the `Long.MaxValue` sentinel (no incoming constraint) —
+    * callers usually exclude it. Returns (node, cap). */
+  def widestPath(edges: DataFrame, source: Long,
+      maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var cap = Seq((source, Long.MaxValue)).toDF("node", "cap")
+      .localCheckpoint(true)
+    var improved = 1L
+    var it = 0
+    while (improved > 0 && it < maxIters) {
+      val relaxed = cap.join(e, cap("node") === e("src"))
+        .select(col("dst").as("node"), least(col("cap"), col("w")).as("cap"))
+        .union(cap)
+        .groupBy(col("node")).agg(max(col("cap")).as("cap"))
+        .localCheckpoint(true)
+      improved = relaxed.as("n")
+        .join(cap.as("o"), col("n.node") === col("o.node"), "left")
+        .filter(col("o.node").isNull || col("n.cap") > col("o.cap"))
+        .count()
+      cap = relaxed
+      it += 1
+    }
+    if (improved > 0)
+      throw new IllegalStateException(
+        s"widestPath: not stable after $maxIters rounds")
+    cap
+  }
 }

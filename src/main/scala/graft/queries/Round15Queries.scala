@@ -52,15 +52,16 @@ object Round15Queries {
     "a3_cms_counts"      -> (a3_cms_counts _))
 
   val oracles: Map[String, String] = Map(
-    // the full sketch + min-of-cells estimates in exact BIGINT
+    // the full sketch + min-of-cells estimates in exact BIGINT; buckets
+    // come from the shared mixing chain (SketchSql.bucket)
     "a3_cms_counts" ->
-      """WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+      s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
         |fam(i, a, b) AS (VALUES (0, 1299709, 104729),
         |                        (1, 15485863, 1999),
         |                        (2, 32452843, 777767)),
         |cells AS (
         |  SELECT fam.i,
-        |    ((k * fam.a + fam.b) % 2305843009213693951) % 256 AS b,
+        |    ${SketchSql.bucket("keys.k", "fam.a", "fam.b", 256)} AS b,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM keys CROSS JOIN fam GROUP BY 1, 2),
         |exact AS (
@@ -70,7 +71,7 @@ object Round15Queries {
         |  SELECT e.k, MIN(COALESCE(c.cnt, 0)) AS cm_est
         |  FROM exact e CROSS JOIN fam
         |  LEFT JOIN cells c ON c.i = fam.i
-        |    AND c.b = ((e.k * fam.a + fam.b) % 2305843009213693951) % 256
+        |    AND c.b = ${SketchSql.bucket("e.k", "fam.a", "fam.b", 256)}
         |  GROUP BY e.k)
         |SELECT e.k AS part_key, e.exact_cnt, est.cm_est,
         |  est.cm_est >= e.exact_cnt AS over

@@ -31,18 +31,22 @@ object Round16Queries {
 
   private val MStr = "2305843009213693951" // 2^61 - 1
 
-  // ── a4: |events ⋈ orders on user key| estimated from two 3×256-cell
+  // ── a4: |events ⋈ orders on user key| estimated from two 3×65536-cell
   //        sketches. Inner product per hash row ≥ true size (collisions
   //        only add); min over rows is the bound the planner would use
   //        to pick broadcast vs shuffle at 100 TB. `over` pins the
-  //        no-undercount guarantee. ──────────────────────────────────────
+  //        no-undercount guarantee. Width matters for MEANING, not just
+  //        memory: E[overcount] = ΣA·ΣB/w, so w must dwarf
+  //        (ΣA·ΣB)/|A⋈B| for the bound to be actionable — 65536 puts the
+  //        expected slack near 2% here where 256 would bury the answer
+  //        under a 6× additive term. ─────────────────────────────────────
   def a4_cms_join_size(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
     val aK = t(s, dir, "events").select(col("user_id").as("k"))
     val bK = t(s, dir, "orders").select(col("o_custkey").as("k"))
     val est = CountMin.joinSizeEstimate(
-      CountMin.sketch(aK, CountMin.DefaultFamily, w = 256),
-      CountMin.sketch(bK, CountMin.DefaultFamily, w = 256))
+      CountMin.sketch(aK, CountMin.DefaultFamily, w = 65536),
+      CountMin.sketch(bK, CountMin.DefaultFamily, w = 65536))
     val exact = aK.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       .join(bK.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
@@ -64,8 +68,7 @@ object Round16Queries {
     val m48 = 1L << 48
     val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
     val top = keys.select(
-        pmod(pmod(col("k") * lit(1299709L) + lit(104729L),
-          lit(CountMin.P)), lit(m48)).as("h"))
+        pmod(CountMin.mix61(col("k"), 1299709L, 104729L), lit(m48)).as("h"))
       .distinct()
       .orderBy(col("h")).limit(kk)
       .agg(count(lit(1)).as("m"), max(col("h")).as("kth_hash"))
@@ -181,12 +184,12 @@ object Round16Queries {
         |ka AS (SELECT user_id AS k FROM events),
         |kb AS (SELECT o_custkey AS k FROM orders),
         |ca AS (
-        |  SELECT fam.i, ((k * fam.a + fam.b) % $MStr) % 256 AS bkt,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  SELECT fam.i, ${SketchSql.bucket("ka.k", "fam.a", "fam.b", 65536)}
+        |    AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM ka CROSS JOIN fam GROUP BY 1, 2),
         |cb AS (
-        |  SELECT fam.i, ((k * fam.a + fam.b) % $MStr) % 256 AS bkt,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  SELECT fam.i, ${SketchSql.bucket("kb.k", "fam.a", "fam.b", 65536)}
+        |    AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM kb CROSS JOIN fam GROUP BY 1, 2),
         |ip AS (
         |  SELECT ca.i, SUM(ca.cnt * cb.cnt) AS ip
@@ -201,7 +204,8 @@ object Round16Queries {
     "a5_kmv_distinct" ->
       s"""WITH hs AS (
         |  SELECT DISTINCT
-        |    ((l_partkey * 1299709 + 104729) % $MStr) % 281474976710656 AS h
+        |    ${SketchSql.mix("l_partkey", "1299709", "104729")}
+        |      % 281474976710656 AS h
         |  FROM lineitem),
         |top AS (SELECT h FROM hs ORDER BY h LIMIT 64),
         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth_hash
@@ -285,7 +289,8 @@ object Round16Queries {
     "e18_stream_cms_ingest" ->
       s"""WITH $cmFam,
         |keys AS (SELECT l_partkey AS k FROM lineitem)
-        |SELECT fam.i, ((k * fam.a + fam.b) % $MStr) % 256 AS b,
+        |SELECT fam.i, ${SketchSql.bucket("keys.k", "fam.a", "fam.b", 256)}
+        |    AS b,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM keys CROSS JOIN fam GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

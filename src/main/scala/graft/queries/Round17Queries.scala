@@ -67,8 +67,9 @@ object Round17Queries {
     import graft.operators.CountMin
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars").as("w"),
-        expr(s"pmod(doc_id * 1299709 + 104729, ${CountMin.P})" +
-          " div greatest(n_chars, 1)").as("priority"))
+        CountMin.mix61(col("doc_id"), 1299709L, 104729L).as("mh"))
+      .select(col("doc_id"), col("w"),
+        expr("mh div greatest(w, 1)").as("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(50)
   }
@@ -122,12 +123,13 @@ object Round17Queries {
         |  SELECT DISTINCT o_custkey AS k FROM orders
         |  WHERE o_orderkey % 11 = 0),
         |cells AS (
-        |  SELECT DISTINCT fam.i, ((k * fam.a + fam.b) % $MStr) % 2048 AS b
+        |  SELECT DISTINCT fam.i,
+        |    ${SketchSql.bucket("mem.k", "fam.a", "fam.b", 2048)} AS b
         |  FROM mem CROSS JOIN fam),
         |probe AS (SELECT c_custkey AS k FROM customer),
         |ph AS (
         |  SELECT probe.k, fam.i,
-        |    ((probe.k * fam.a + fam.b) % $MStr) % 2048 AS b
+        |    ${SketchSql.bucket("probe.k", "fam.a", "fam.b", 2048)} AS b
         |  FROM probe CROSS JOIN fam),
         |hits AS (
         |  SELECT ph.k, COUNT(cells.i) = 3 AS bloom_hit
@@ -148,7 +150,7 @@ object Round17Queries {
         |FROM flags""".stripMargin,
     "p25_weighted_sample" ->
       s"""SELECT doc_id, n_chars AS w,
-        |  ((doc_id * 1299709 + 104729) % $MStr)
+        |  ${SketchSql.mix("doc_id", "1299709", "104729")}
         |    // GREATEST(n_chars, 1) AS priority
         |FROM documents
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,

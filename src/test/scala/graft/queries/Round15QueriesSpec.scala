@@ -37,23 +37,35 @@ class Round15QueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  // test-side mirror of CountMin.mix61 / bucket (mulmod chain)
+  private def bucketOf(k: Long, a: Long, b: Long, w: Int): Long = {
+    import graft.functions.RollingMinHash.{mulmod, M}
+    val h1 = (mulmod(k, a) + b) % M
+    ((mulmod(mulmod(h1, h1), 179424673L) + 15485867L) % M) % w
+  }
+
   test("a3: estimates are exact without collisions, overcounts never undercount") {
     import graft.operators.CountMin
-    // separated keys: every cell holds one key -> min = exact count
-    val clean = Seq(1L, 1L, 1L, 2L).toDF("k")
-    val fam2 = Seq((1L, 0L), (5L, 3L))
-    val cm = CountMin.sketch(clean, fam2, w = 8)
-    val est = CountMin.estimate(clean.distinct(), cm, fam2, w = 8)
+    val fam2 = Seq((1299709L, 104729L), (15485863L, 1999L))
+    // pick a partner key that shares no cell with key 1 under either row
+    val clean2 = (2L to 500L).find(k2 => fam2.forall { case (a, b) =>
+      bucketOf(k2, a, b, 64) != bucketOf(1L, a, b, 64) }).get
+    val clean = Seq(1L, 1L, 1L, clean2).toDF("k")
+    val cm = CountMin.sketch(clean, fam2, w = 64)
+    val est = CountMin.estimate(clean.distinct(), cm, fam2, w = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(est == Map(1L -> 3L, 2L -> 1L))
-    // forced collision (single row, keys 8 apart at w=8): the shared
-    // cell reads 4 for both keys — an overcount, never an undercount
-    val fam1 = Seq((1L, 0L))
-    val coll = Seq(1L, 1L, 1L, 9L).toDF("k")
+    assert(est == Map(1L -> 3L, clean2 -> 1L))
+    // forced collision (single row): a key sharing key 1's cell reads the
+    // merged count for both — an overcount, never an undercount
+    val fam1 = Seq((1299709L, 104729L))
+    val collider = (2L to 5000L).find(k2 =>
+      bucketOf(k2, 1299709L, 104729L, 8) ==
+        bucketOf(1L, 1299709L, 104729L, 8)).get
+    val coll = Seq(1L, 1L, 1L, collider).toDF("k")
     val cmC = CountMin.sketch(coll, fam1, w = 8)
     val estC = CountMin.estimate(coll.distinct(), cmC, fam1, w = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(estC == Map(1L -> 4L, 9L -> 4L))
+    assert(estC == Map(1L -> 4L, collider -> 4L))
   }
 
   test("d19: maxDf drops ubiquitous grams before the pair join") {

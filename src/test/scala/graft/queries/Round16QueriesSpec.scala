@@ -11,17 +11,19 @@ class Round16QueriesSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("cm inner product: min over rows, never under the true join size") {
+  test("cm inner product: exact when one key, total-product when all collide") {
     import graft.operators.CountMin
-    // fam row 0 (identity mod 8): A{1,1,2} -> b1:2, b2:1; B{1,9} -> b1:2
-    //   (9 ≡ 1): ip = 2·2 = 4
-    // fam row 1 ((5k+3) mod 8): A -> b0:2 (k=1), b5:1; B -> b0:2: ip = 4
-    // true |A ⋈ B| = key 1: 2·1 = 2 -> est 4 is an overcount, min = 4
-    val fam = Seq((1L, 0L), (5L, 3L))
-    val cmA = CountMin.sketch(Seq(1L, 1L, 2L).toDF("k"), fam, w = 8)
-    val cmB = CountMin.sketch(Seq(1L, 9L).toDF("k"), fam, w = 8)
-    val est = CountMin.joinSizeEstimate(cmA, cmB).collect()(0).getLong(0)
-    assert(est == 4L)
+    val fam = Seq((1299709L, 104729L), (15485863L, 1999L))
+    // single shared key, no cross terms possible: est = 2·1 = |A ⋈ B|
+    val cmA = CountMin.sketch(Seq(1L, 1L).toDF("k"), fam, w = 64)
+    val cmB = CountMin.sketch(Seq(1L).toDF("k"), fam, w = 64)
+    assert(CountMin.joinSizeEstimate(cmA, cmB).collect()(0).getLong(0) == 2L)
+    // w = 1 collapses every key into one cell: est = ΣA·ΣB = 3·2 = 6,
+    // an overcount of the true size 2 (key 1 only) — never an undercount
+    val cA = CountMin.sketch(Seq(1L, 1L, 2L).toDF("k"), fam, w = 1)
+    val cB = CountMin.sketch(Seq(1L, 9L).toDF("k"), fam, w = 1)
+    val est = CountMin.joinSizeEstimate(cA, cB).collect()(0).getLong(0)
+    assert(est == 6L)
     assert(est >= 2L)
   }
 

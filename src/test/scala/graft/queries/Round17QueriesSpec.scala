@@ -9,36 +9,50 @@ class Round17QueriesSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // test-side mirror of CountMin.mix61 / bucket (mulmod chain)
+  private def bucketOf(k: Long, a: Long, b: Long, w: Int): Long = {
+    import graft.functions.RollingMinHash.{mulmod, M}
+    val h1 = (mulmod(k, a) + b) % M
+    ((mulmod(mulmod(h1, h1), 179424673L) + 15485867L) % M) % w
+  }
+
   test("bloom membership: members always hit; collisions give false positives only") {
     import graft.operators.CountMin
-    val fam = Seq((1L, 0L))
+    val fam = Seq((1299709L, 104729L))
     val members = Seq(1L).toDF("k")
     val cells = CountMin.sketch(members, fam, w = 8)
-    // probe: the member (hit), a collision 9 ≡ 1 mod 8 (false positive),
-    // and a clean miss (2)
-    val out = CountMin.membership(Seq(1L, 9L, 2L).toDF("k"), cells, fam, 8)
+    val b1 = bucketOf(1L, 1299709L, 104729L, 8)
+    // search a collider (false positive) and a clean miss
+    val fp = (2L to 5000L).find(k =>
+      bucketOf(k, 1299709L, 104729L, 8) == b1).get
+    val miss = (2L to 5000L).find(k =>
+      bucketOf(k, 1299709L, 104729L, 8) != b1).get
+    val out = CountMin.membership(Seq(1L, fp, miss).toDF("k"), cells, fam, 8)
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    assert(out == Map(1L -> true, 9L -> true, 2L -> false))
+    assert(out == Map(1L -> true, fp -> true, miss -> false))
   }
 
   test("bloom membership: a key must hit ALL rows of the family") {
     import graft.operators.CountMin
-    // two rows: 9 collides with 1 on the identity row (both ≡ 1 mod 8)
-    // but separates on the (5k+3) row (0 vs 8 mod 8 = 0 ... use w=16:
-    // 5·1+3=8, 5·9+3=48 ≡ 0 mod 16) -> no false positive
-    val fam = Seq((1L, 0L), (5L, 3L))
+    // a key colliding on row 1 but not row 2 must NOT report membership
+    val fam = Seq((1299709L, 104729L), (15485863L, 1999L))
     val cells = CountMin.sketch(Seq(1L).toDF("k"), fam, w = 16)
-    val out = CountMin.membership(Seq(1L, 9L).toDF("k"), cells, fam, 16)
+    val partial = (2L to 50000L).find(k =>
+      bucketOf(k, 1299709L, 104729L, 16) ==
+        bucketOf(1L, 1299709L, 104729L, 16) &&
+      bucketOf(k, 15485863L, 1999L, 16) !=
+        bucketOf(1L, 15485863L, 1999L, 16)).get
+    val out = CountMin.membership(Seq(1L, partial).toDF("k"), cells, fam, 16)
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    assert(out == Map(1L -> true, 9L -> false))
+    assert(out == Map(1L -> true, partial -> false))
   }
 
   test("weighted sample priority: heavier docs draw smaller priorities") {
     import graft.operators.CountMin
     val out = Seq((10L, 1L), (10L, 1000000L)).toDF("doc_id", "w")
       .select(col("w"),
-        expr(s"pmod(doc_id * 1299709 + 104729, ${CountMin.P})" +
-          " div greatest(w, 1)").as("priority"))
+        CountMin.mix61(col("doc_id"), 1299709L, 104729L).as("mh"))
+      .select(col("w"), expr("mh div greatest(w, 1)").as("priority"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // identical hash, weight 10^6 divides priority by 10^6
     assert(out(1000000L) == out(1L) / 1000000L)
