@@ -22,4 +22,21 @@ object Tables {
     * reference's DuckDB `con.register(name, df)` (templates.py:79-82). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** `events.ts` normalized to a µs-precision `TimestampType` column, across
+    * both testdata generations: `timestamp[ns]` parquet arrives as LongType
+    * nanoseconds (under `spark.sql.legacy.parquet.nanosAsLong`), while
+    * `timestamp[us]` arrives as TIMESTAMP_NTZ. The NTZ→TZ cast in the UTC
+    * session keeps the same microsecond value the nanos path produced, so
+    * every downstream plan and result is unchanged. Works on streaming
+    * DataFrames too (the schema is known before the stream starts). */
+  def tsMicros(df: DataFrame, colName: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType         => timestamp_micros(expr(s"$colName div 1000"))
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case _                => col(colName)
+    }
+  }
 }
