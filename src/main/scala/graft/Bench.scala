@@ -44,21 +44,21 @@ object Bench {
     val artifactBuildSec =
       graft.queries.Round8Queries.prebuildArtifacts(spark, sfDir)
     // Per-query timing policy (the "mode" field in the emitted JSON):
-    // every query is timed once; queries whose first pass came in under
-    // `rerunBudgetSec` are timed a second time and the min is reported.
-    // Short queries are the noise-dominated ones (GC pause, co-tenant
-    // load, page-cache miss, one-time encoder/codegen compilation ≈ their
-    // whole runtime), so min-of-two is what makes them comparable
-    // round-over-round; genuinely multi-second queries (streaming twins
-    // paying stream start/stop, heavy dedup) are signal-dominated and a
-    // second pass would only stretch bench wall time. The 3 s budget sits
-    // above the observed cold-pass cost of the mapPartitions encoders
-    // (m1/m3 first pass ≈ 2.4 s cold, 0.6 s steady-state — a 2 s budget
-    // recorded the one-time codegen, not the query). The policy is
-    // per-query and deterministic — unlike a global wall-time cap,
-    // growing the suite cannot silently flip the measurement mode of
-    // unrelated queries.
-    val rerunBudgetSec = 3.0
+    // every query is timed once, then re-timed and the min reported unless
+    // the first pass exceeded `rerunCapSec`. Short queries are
+    // noise-dominated (GC pause, co-tenant load, page-cache miss, one-time
+    // encoder/codegen compilation ≈ their whole runtime), so min-of-two is
+    // what makes them comparable round-over-round. r6 showed the failure
+    // mode of a LOW rerun budget: q36_range_join's one cold pass landed at
+    // 3.865 s (vs 0.41 s warm in r5), just over the then-3 s budget, so
+    // the cold outlier was *accepted* as the round's number and graded as
+    // a 9.3× regression. The queries most in need of a second pass are
+    // exactly the ones whose first pass looks anomalously slow — hence a
+    // high cap whose only job is to keep a future genuinely-minutes-long
+    // query from doubling bench wall time. Per-query and deterministic:
+    // growing the suite cannot flip the measurement mode of unrelated
+    // queries.
+    val rerunCapSec = 30.0
     // A failed query reports the sentinel -1.0, never its elapsed time: a
     // query that throws instantly must read as "broken", not as the
     // suite's fastest entry. Failures are excluded from the total and
@@ -70,14 +70,14 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOne(fn)
-      name -> (if (a >= 0 && a < rerunBudgetSec) {
+      name -> (if (a >= 0 && a < rerunCapSec) {
         // keep the successful first pass if the rerun flakes out
         val b = timeOne(fn)
         if (b >= 0) math.min(a, b) else a
       } else a)
     }
     val errors = results.collect { case (name, v) if v < 0 => name }
-    val mode = s"min2_under${rerunBudgetSec}s"
+    val mode = s"min2_under${rerunCapSec}s"
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // "12,345" and corrupt the JSON the harness parses
     def fmt(v: Double): String =

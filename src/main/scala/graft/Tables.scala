@@ -34,7 +34,14 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(colName).dataType match {
-      case LongType         => timestamp_micros(expr(s"$colName div 1000"))
+      case LongType =>
+        // Integer arithmetic only: epoch nanos (~1.7e18) exceed double's
+        // 2^53 exact range, so `/` (which widens to double) would lose µs
+        // precision. `x - pmod(x, 1000)` is the largest multiple of 1000
+        // ≤ x, so the IntegralDivide *floors* — correct for pre-epoch
+        // (negative) nanos too, where bare `div` truncates toward zero.
+        val q = s"`${colName.replace("`", "``")}`"
+        timestamp_micros(expr(s"($q - pmod($q, 1000)) div 1000"))
       case TimestampNTZType => col(colName).cast(TimestampType)
       case _                => col(colName)
     }

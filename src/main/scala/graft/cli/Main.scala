@@ -38,6 +38,9 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // parity with Bench/Verify: old-generation timestamp[ns] parquet
+      // arrives as LongType nanos so Tables.tsMicros' LongType branch works
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

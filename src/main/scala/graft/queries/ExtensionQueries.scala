@@ -22,11 +22,24 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** events.ts arrives as LongType nanos (nanosAsLong); truncate to µs for
-    * engine-portable timestamps. */
-  private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us",
-      timestamp_micros(expr("ts div 1000")))
+  /** events.ts normalized to µs TimestampType across both testdata
+    * generations (int64-nanos and timestamp[us]) via [[Tables.tsMicros]]. */
+  private def eventsWithTs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.withColumn("ts_us", Tables.tsMicros(ev))
+  }
+
+  /** Streaming twin of [[eventsWithTs]]: the events parquet as a file
+    * stream with `ts_us` normalized via [[Tables.tsMicros]] (the schema is
+    * known before the stream starts, so the same generation dispatch
+    * applies). A fresh stream per call — callers that reference it twice
+    * (union, self-join) get independent sources, as the file source
+    * requires. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(t(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("ts_us", Tables.tsMicros(raw))
+  }
 
   // ── dedup ───────────────────────────────────────────────────────────────
 
@@ -231,13 +244,10 @@ object ExtensionQueries {
     * memory sink) — hash-matching e1's oracle proves batch/stream parity
     * of the windowed aggregation. */
   def e4_stream_hourly(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
     val name = s"stream_hourly_${streamRunSeq.incrementAndGet()}"
     // the streaming file source wants a directory; glob-filter to the one
-    // table file inside the sf dir
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    // table file inside the sf dir (eventsStream does both)
+    val stream = eventsStream(s, dir)
     val agg = stream
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(
@@ -265,12 +275,9 @@ object ExtensionQueries {
     * through the hash gate, not asserted. */
   def e5_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val schema = t(s, dir, "events").schema
     val name = s"stream_sess_${streamRunSeq.incrementAndGet()}"
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+    val stream = eventsStream(s, dir)
+      .select(col("event_id"), col("ts_us").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.Event]
     withStreamShuffle(s, 4) {
@@ -316,11 +323,8 @@ object ExtensionQueries {
     * must equal the batch aggregate over the *original* table — the
     * dedup-on-ingest contract, proven through the oracle. */
   def e7_stream_dedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
     val name = s"stream_dedup_${streamRunSeq.incrementAndGet()}"
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(s, dir)
     val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
       src.union(src), idCol = "event_id", tsCol = "ts_us")
     withStreamShuffle(s, 4) {
@@ -365,12 +369,9 @@ object ExtensionQueries {
     * streams. Inner matches emit as rows arrive; the oracle is the batch
     * interval join over the same table. */
   def e8_stream_interval_join(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
     val name = s"stream_ivjoin_${streamRunSeq.incrementAndGet()}"
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts_us"),
+    def src = eventsStream(s, dir)
+      .select(col("event_id"), col("ts_us"),
         col("user_id"), col("event_type"))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
@@ -421,12 +422,9 @@ object ExtensionQueries {
     * finite stream drains, so they never emit; the oracle reproduces
     * exactly that eviction rule. */
   def e9_stream_outer_interval_join(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
     val name = s"stream_ivojoin_${streamRunSeq.incrementAndGet()}"
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts_us"),
+    def src = eventsStream(s, dir)
+      .select(col("event_id"), col("ts_us"),
         col("user_id"), col("event_type"))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),

@@ -78,8 +78,8 @@ object MoreQueries {
 
   // ── q20: as-of join (purchases ↔ latest prior click per user) ──────────
   def q20_asof_join(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val e = raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val clicks = e.filter(col("event_type") === "click")

@@ -207,8 +207,8 @@ object Round4Queries {
   //        with an explicit lexicographic tie-break (bare `mode()` is
   //        engine-dependent on ties; argmax over (count, key) is total). ──
   def q63_mode(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").withColumn("ts_us",
-      timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val ev = raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
     val counts = ev
       .groupBy(hour(col("ts_us")).as("hr"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -512,9 +512,9 @@ object Round4Queries {
   def e11_stream_dq(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "events").schema
     val name = s"stream_dq_${streamRunSeq.incrementAndGet()}"
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val stream = raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
     val agg = stream
       .groupBy(window(col("ts_us"), "1 hour"))
       .agg(

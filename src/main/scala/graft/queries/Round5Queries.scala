@@ -29,12 +29,14 @@ object Round5Queries {
 
   private def scratch(name: String): String = graft.Scratch.dir(name)
 
-  /** events.ts is int64 nanoseconds in parquet; both engines compare at
-    * microsecond resolution (DuckDB's TIMESTAMP cast truncates the same
-    * way), so ordering and interval arithmetic agree exactly. */
-  private def eventsTs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us",
-      timestamp_micros(expr("ts div 1000")))
+  /** events.ts normalized to µs TimestampType across both testdata
+    * generations via [[graft.Tables.tsMicros]]; both engines compare at
+    * microsecond resolution, so ordering and interval arithmetic agree
+    * exactly. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
+  }
 
   // ── q65: ordered conversion funnel — view → click-after-view →
   //        purchase-after-click, each stage anchored at the user's
@@ -259,9 +261,10 @@ object Round5Queries {
   def e12_stream_session_window(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "events").schema
     val name = s"stream_sesswin_${streamRunSeq.incrementAndGet()}"
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    val stream = raw
+      .select(col("user_id"), graft.Tables.tsMicros(raw).as("ts"))
       .withWatermark("ts", "30 minutes")
     val agg = stream
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

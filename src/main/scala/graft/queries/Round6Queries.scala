@@ -27,11 +27,12 @@ object Round6Queries {
   private def dsum(c: Column, scale: Int = 4) =
     sum(dec(c, scale)).cast(DoubleType)
 
-  /** events.ts is int64 nanoseconds in parquet; both engines compare at
-    * microsecond resolution. */
-  private def eventsTs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us",
-      timestamp_micros(expr("ts div 1000")))
+  /** events.ts normalized to µs TimestampType across both testdata
+    * generations via [[graft.Tables.tsMicros]]. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
+  }
 
   /** The co-occurrence graph both graph queries run on: parts appearing in
     * the same order are linked. Thinned to every-10th part so the graph
@@ -163,9 +164,9 @@ object Round6Queries {
   def e13_stream_sliding(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "events").schema
     val name = s"stream_sliding_${streamSeq.incrementAndGet()}"
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val stream = raw.withColumn("ts_us", graft.Tables.tsMicros(raw))
     val agg = stream
       .groupBy(window(col("ts_us"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"),

@@ -173,9 +173,9 @@ class Round5QueriesSpec extends SparkSpec {
     // batch recompute of the documented semantics: new session when the
     // gap >= 30 min; emit only sessions whose (last event + gap) is at or
     // before the terminal watermark (max event time - 30 min)
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .select($"user_id", $"event_id",
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val e = raw.select($"user_id", $"event_id",
+      graft.Tables.tsMicros(raw).as("ts"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")
     val gapUs = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))

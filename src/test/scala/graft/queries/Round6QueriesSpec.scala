@@ -77,8 +77,9 @@ class Round6QueriesSpec extends SparkSpec {
     val sliding = Round6Queries.e13_stream_sliding(spark, sf)
       .select($"win_start", $"n").as[(java.sql.Timestamp, Long)]
       .collect().toMap
-    val tumbling = graft.Tables.load(spark, sf, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val rawEvents = graft.Tables.load(spark, sf, "events")
+    val tumbling = rawEvents
+      .withColumn("ts_us", graft.Tables.tsMicros(rawEvents))
       .groupBy(window($"ts_us", "15 minutes"))
       .agg(count(lit(1)).as("n"))
       .select($"window.start", $"n").as[(java.sql.Timestamp, Long)]
