@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Round15Queries.queries ++
       graft.queries.Round16Queries.queries ++
       graft.queries.Round17Queries.queries ++
-      graft.queries.Round18Queries.queries
+      graft.queries.Round18Queries.queries ++
+      graft.queries.Round19Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.Round15Queries.oracles ++
       graft.queries.Round16Queries.oracles ++
       graft.queries.Round17Queries.oracles ++
-      graft.queries.Round18Queries.oracles
+      graft.queries.Round18Queries.oracles ++
+      graft.queries.Round19Queries.oracles
 }
