@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Round16Queries.queries ++
       graft.queries.Round17Queries.queries ++
       graft.queries.Round18Queries.queries ++
-      graft.queries.Round19Queries.queries
+      graft.queries.Round19Queries.queries ++
+      graft.queries.Round20Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.Round16Queries.oracles ++
       graft.queries.Round17Queries.oracles ++
       graft.queries.Round18Queries.oracles ++
-      graft.queries.Round19Queries.oracles
+      graft.queries.Round19Queries.oracles ++
+      graft.queries.Round20Queries.oracles
 }

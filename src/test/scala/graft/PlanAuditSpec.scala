@@ -300,6 +300,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("grouped HLL registers build in keyed hash aggregates, no pairwise") {
+    val p = plan("a8_hll_grouped")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"),
+      "register build must be (event_type, bkt)-keyed; the power-of-two " +
+        "rank dictionary must broadcast")
+  }
+
+  test("quantile refinement windows partition by bin, never one global sort") {
+    val p = plan("a9_quantile_hist")
+    // the rank-recovery window must hash-partition the data by bin; a
+    // partition-less window over the cents table would single-thread it
+    assert(p.contains("hashpartitioning(bin"),
+      s"rankedInBin's window must key by bin:\n$p")
+  }
+
+  test("SQ8 candidate scan joins dims via broadcast stats, pairs via equi-keys") {
+    val p = plan("s12_sq8_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-dimension grid stats must broadcast onto the flat corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("k-means distances run as the native l2sq expression in codegen") {
     val p = executedPlan("s8_kmeans")
     assert(p.contains("l2sq_long"),
