@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Round17Queries.queries ++
       graft.queries.Round18Queries.queries ++
       graft.queries.Round19Queries.queries ++
-      graft.queries.Round20Queries.queries
+      graft.queries.Round20Queries.queries ++
+      graft.queries.Round21Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.Round17Queries.oracles ++
       graft.queries.Round18Queries.oracles ++
       graft.queries.Round19Queries.oracles ++
-      graft.queries.Round20Queries.oracles
+      graft.queries.Round20Queries.oracles ++
+      graft.queries.Round21Queries.oracles
 }

@@ -102,4 +102,55 @@ object CountMin {
       .join(cm, Seq("i", "b"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  // ── dyadic range extension (Cormode & Muthukrishnan 2005 §4.1) ────────
+
+  /** Levels a dyadic sketch carries; the composite key reserves 4 bits,
+    * so levels must stay < 16. */
+  val DyadicLevels = 13 // levels 0..12, blocks up to 2^12
+
+  /** Canonical dyadic cover of [lo, hi): greedy largest-aligned-block
+    * decomposition into ≤ 2·log₂(hi−lo) nodes, each node (level, idx)
+    * covering [idx·2^level, (idx+1)·2^level). Pure integer function —
+    * both engines receive the SAME node list as literals. */
+  def dyadicCover(lo: Long, hi: Long,
+      maxLevel: Int = DyadicLevels - 1): Seq[(Int, Long)] = {
+    require(lo >= 0 && hi > lo, s"bad range [$lo, $hi)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var x = lo
+    while (x < hi) {
+      var l = if (x == 0) maxLevel
+        else math.min(java.lang.Long.numberOfTrailingZeros(x), maxLevel)
+      while ((1L << l) > hi - x) l -= 1
+      out += ((l, x >> l))
+      x += (1L << l)
+    }
+    out.toSeq
+  }
+
+  /** Composite key for (level, idx): `idx·16 + level` — one long key
+    * space lets a single d×w sketch serve every dyadic level. */
+  def dyadicKey(level: Int, idx: Long): Long = idx * 16 + level
+
+  /** Dyadic CM sketch over `keys` (column `k`, non-negative longs):
+    * each input key contributes its (level, k div 2^level) composite for
+    * every level — still ONE map-side-combined aggregate, d·w cells,
+    * mergeable; the explode factor is the fixed level count, not data. */
+  def dyadicSketch(keys: DataFrame, family: Seq[(Long, Long)],
+      w: Int): DataFrame =
+    sketch(keys.select(explode(array((0 until DyadicLevels).map(l =>
+      expr(s"k div ${1L << l}") * 16 + l): _*)).as("k")), family, w)
+
+  /** Range-count estimate for [lo, hi) from a [[dyadicSketch]]: the sum
+    * of the cover nodes' point estimates — each is an upper bound (CM
+    * never undercounts) so the sum is too; error grows with the ≤
+    * 2·log₂(hi−lo) node count, the dyadic trade. One row: `cm_range_est`. */
+  def rangeEstimate(cm: DataFrame, family: Seq[(Long, Long)], w: Int,
+      lo: Long, hi: Long): DataFrame = {
+    val s = cm.sparkSession
+    import s.implicits._
+    val nodes = dyadicCover(lo, hi).map { case (l, idx) => dyadicKey(l, idx) }
+    estimate(nodes.toDF("k"), cm, family, w)
+      .agg(sum(col("cm_est")).as("cm_range_est"))
+  }
 }
