@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Round18Queries.queries ++
       graft.queries.Round19Queries.queries ++
       graft.queries.Round20Queries.queries ++
-      graft.queries.Round21Queries.queries
+      graft.queries.Round21Queries.queries ++
+      graft.queries.Round22Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.Round18Queries.oracles ++
       graft.queries.Round19Queries.oracles ++
       graft.queries.Round20Queries.oracles ++
-      graft.queries.Round21Queries.oracles
+      graft.queries.Round21Queries.oracles ++
+      graft.queries.Round22Queries.oracles
 }
