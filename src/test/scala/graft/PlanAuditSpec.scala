@@ -323,6 +323,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("span removal meets pairs only through the gram equi-join") {
+    val p = plan("d22_span_removal")
+    assert(!p.contains("CartesianProduct"),
+      "coverage and rebuild must never go all-pairs")
+  }
+
+  test("dyadic range sketch is one aggregate plus tiny probe joins") {
+    val p = plan("a10_cms_range")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"),
+      "the cover probe (≤ 2·log₂ rows) must broadcast against the cells")
+  }
+
   test("k-means distances run as the native l2sq expression in codegen") {
     val p = executedPlan("s8_kmeans")
     assert(p.contains("l2sq_long"),
