@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Round21Queries.queries ++
       graft.queries.Round22Queries.queries ++
       graft.queries.Round23Queries.queries ++
-      graft.queries.Round24Queries.queries
+      graft.queries.Round24Queries.queries ++
+      graft.queries.Round25Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Round21Queries.oracles ++
       graft.queries.Round22Queries.oracles ++
       graft.queries.Round23Queries.oracles ++
-      graft.queries.Round24Queries.oracles
+      graft.queries.Round24Queries.oracles ++
+      graft.queries.Round25Queries.oracles
 }
