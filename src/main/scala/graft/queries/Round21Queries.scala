@@ -109,11 +109,31 @@ object Round21Queries {
       .orderBy(col("pos"))
   }
 
+  // ── e21: a10's dyadic sketch built through Structured Streaming — the
+  //        13-level composite explode is stateless per row, the cell
+  //        aggregation is the one stateful op (complete mode). Equal to
+  //        the batch sketch cell for cell via the shared oracle CTEs. ───
+  def e21_stream_dyadic_cms(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dyadic_${streamSeq.incrementAndGet()}"
+    val schema = t(s, dir, "lineitem").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(expr(
+        "cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)")
+        .as("k"))
+    val cells = CountMin.dyadicSketch(stream, CountMin.DefaultFamily, CmW)
+    val query = cells.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name).orderBy(col("i"), col("b"))
+  }
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_cms_range"            -> (a10_cms_range _),
     "e20_stream_hist_ingest"   -> (e20_stream_hist_ingest _),
+    "e21_stream_dyadic_cms"    -> (e21_stream_dyadic_cms _),
     "q83_position_attribution" -> (q83_position_attribution _))
 
   private val cmFam =
@@ -170,6 +190,21 @@ object Round21Queries {
         |    AS bin,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "e21_stream_dyadic_cms" ->
+      s"""WITH $cmFam,
+        |days AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS k
+        |  FROM lineitem),
+        |lvl(l, p) AS (VALUES $lvlRows),
+        |comp AS (
+        |  SELECT (d.k // lvl.p) * 16 + lvl.l AS k
+        |  FROM days d CROSS JOIN lvl)
+        |SELECT fam.i,
+        |  ${SketchSql.bucket("comp.k", "fam.a", "fam.b", CmW)} AS b,
+        |  COUNT(*) AS cnt
+        |FROM comp CROSS JOIN fam GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q83_position_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
