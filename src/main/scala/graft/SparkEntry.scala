@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Round22Queries.queries ++
       graft.queries.Round23Queries.queries ++
       graft.queries.Round24Queries.queries ++
-      graft.queries.Round25Queries.queries
+      graft.queries.Round25Queries.queries ++
+      graft.queries.Round26Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Round22Queries.oracles ++
       graft.queries.Round23Queries.oracles ++
       graft.queries.Round24Queries.oracles ++
-      graft.queries.Round25Queries.oracles
+      graft.queries.Round25Queries.oracles ++
+      graft.queries.Round26Queries.oracles
 }

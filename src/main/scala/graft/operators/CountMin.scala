@@ -153,4 +153,27 @@ object CountMin {
     estimate(nodes.toDF("k"), cm, family, w)
       .agg(sum(col("cm_est")).as("cm_range_est"))
   }
+
+  /** Serving-side batch of range estimates from a persisted
+    * [[dyadicSketch]]: one row per named range [lo, hi) —
+    * (range_id, cm_range_est). The cover nodes of ALL ranges form one
+    * tiny literal relation (≤ 2·log₂(range) rows each) joined once
+    * against the d×w cells — the dashboard pattern: many ranges answered
+    * from the artifact without touching the raw data. */
+  def rangeEstimates(cm: DataFrame, family: Seq[(Long, Long)], w: Int,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val s = cm.sparkSession
+    import s.implicits._
+    val nodes = ranges.flatMap { case (id, lo, hi) =>
+      dyadicCover(lo, hi).map { case (l, idx) => (id, dyadicKey(l, idx)) }
+    }.toDF("range_id", "k")
+    nodes.select(col("range_id"), col("k"),
+        posexplode(array(family.map { case (a, b) =>
+          bucket(col("k"), a, b, w) }: _*)).as(Seq("i", "b")))
+      .join(cm, Seq("i", "b"), "left")
+      .groupBy(col("range_id"), col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      .groupBy(col("range_id"))
+      .agg(sum(col("cm_est")).as("cm_range_est"))
+  }
 }

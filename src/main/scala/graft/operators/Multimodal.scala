@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * decode/feature-extract stage.
   *
   * The Spark-side machinery here is real and tested — schema, partition
-  * batching, deterministic output shape. The *decoder itself is a STUB*:
-  * this container has no image/audio codecs, so `decodeFeaturesStub`
-  * derives a deterministic fake feature vector from the payload bytes.
-  * Swapping in a real decoder (JNI codec, ONNX runtime, …) changes only
-  * the marked function body — the distributed plumbing is unchanged.
+  * batching, deterministic output shape. Since round 8 the image decode
+  * path is real too: [[PixelMediaCodec]] parses actual Netpbm/BMP payloads
+  * via [[graft.functions.ImageCodec]] and derives features from decoded
+  * pixels. [[StubMediaCodec]] remains as the deterministic test double for
+  * codecs this container genuinely lacks (audio/video); swapping either
+  * for a production decoder (JNI codec, ONNX runtime, …) changes only the
+  * [[MediaCodec]] implementation — the distributed plumbing is unchanged.
   */
 /** The decode seam: everything a real media decoder must provide to slot
   * into [[Multimodal]]'s distributed plumbing. Implementations must be
@@ -72,6 +74,35 @@ object StubMediaCodec extends MediaCodec {
     }
 }
 
+/** The REAL codec (round 8): decodes actual image payloads — Netpbm
+  * P6/P5 and 24-bpp BMP via [[graft.functions.ImageCodec]] — and derives
+  * features/scores from the DECODED PIXELS, not the raw payload bytes.
+  * Header bytes, BMP row padding, bottom-up row order and BGR sample
+  * order are all parsed away first, so a format-handling bug changes the
+  * features and fails the oracle gate. Same fold shapes as the stub
+  * (round-robin Long sums; mod-997 score) but over the pixel array, which
+  * is what makes the m1/m3 oracles replayable in closed form. */
+object PixelMediaCodec extends MediaCodec {
+
+  override def decodeFeatures(bytes: Array[Byte],
+      featureDim: Int): Array[Float] = {
+    val px = graft.functions.ImageCodec.decode(bytes).pixels
+    val sums = new Array[Long](featureDim)
+    var i = 0
+    while (i < px.length) { sums(i % featureDim) += px(i); i += 1 }
+    sums.map(s => (s / 255.0).toFloat)
+  }
+
+  override def scoreBatch(batch: Seq[Array[Byte]]): Seq[Double] =
+    batch.map { bytes =>
+      val px = graft.functions.ImageCodec.decode(bytes).pixels
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += px(i); i += 1 }
+      (s % 997L) / 997.0
+    }
+}
+
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -92,6 +123,27 @@ object Multimodal {
         (h % 1920 + 16).cast(IntegerType).as("width_px"),
         (h % 1080 + 16).cast(IntegerType).as("height_px"),
         length(col(textCol)).cast(LongType).as("n_bytes")))
+  }
+
+  /** Wrap a text column as a REAL image payload: a deterministic
+    * `width`×`height` raster derived from the text's codepoints
+    * ([[graft.functions.ImageCodec.textRaster]]), encoded in an actual
+    * public image format (`"ppm"`, `"pgm"`, or `"bmp"`). The payload is
+    * genuine format bytes — header, padding, row order and all — so the
+    * decode stage downstream does real parsing work. Metadata carries the
+    * true encoded size (`n_bytes` = payload length, header included).
+    * Stands in for `spark.read.format("binaryFile")` at scale; encoding is
+    * a codegen'd expression ([[graft.functions.EncodeImageFromText]]). */
+  def attachImagePayload(df: DataFrame, textCol: String, width: Int = 8,
+      height: Int = 8, format: String = "ppm"): DataFrame = {
+    val payload =
+      graft.functions.ImageExprs.encodeImageFromText(col(textCol), format, width, height)
+    df.withColumn("payload", payload)
+      .withColumn("media", struct(
+        lit("image").as("kind"),
+        lit(width).cast(IntegerType).as("width_px"),
+        lit(height).cast(IntegerType).as("height_px"),
+        length(col("payload")).cast(LongType).as("n_bytes")))
   }
 
   /** Partition-wise decode + feature extraction over binary payloads

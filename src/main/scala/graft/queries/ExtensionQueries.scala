@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.{RollingMinHash, Text}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, PixelMediaCodec, Similarity}
 
 /** Training-data-pipeline operators (the build brief's first-class
   * extensions): dedup, similarity search, text analysis, multimodal
@@ -451,13 +451,22 @@ object ExtensionQueries {
       .orderBy(col("p_id"))
   }
 
-  // ── multimodal plumbing (decode STUB — see Multimodal scaladoc) ─────────
+  // ── multimodal pipeline (REAL decode since round 8 — PixelMediaCodec) ───
 
+  /** Real image decode through the codec-generic `mapPartitions` plumbing:
+    * each document becomes an actual 8×8 P6 PPM payload (header + raster
+    * bytes), [[graft.operators.PixelMediaCodec]] parses the format and
+    * folds the DECODED pixels into 8 feature sums. The oracle replays the
+    * raster's closed form (`pixel i = ord(text[i mod len]) % 256`) — a
+    * decoder that mis-skips the header or mis-sizes the raster shifts
+    * every feature and fails the hash. `total_bytes` is the true encoded
+    * payload size (11-byte header + 192 raster bytes = 203/doc). */
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = Multimodal.attachFakePayload(
+    val withPayload = Multimodal.attachImagePayload(
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
-      "text")
-    val decoded = Multimodal.decodeFeaturesStub(withPayload, featureDim = 8)
+      "text", width = 8, height = 8, format = "ppm")
+    val decoded =
+      Multimodal.decodeFeatures(withPayload, featureDim = 8, PixelMediaCodec)
     decoded
       .groupBy(col("source"))
       .agg(
@@ -467,15 +476,16 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  /** Batched model scoring over payloads (the mapInPandas-shaped stage):
-    * per-doc stub scores aggregated per source. Scores are row-wise
-    * deterministic, so batch boundaries (a pure efficiency knob) cannot
-    * leak into results — which is exactly what lets the oracle check it. */
+  /** Batched model scoring over REAL image payloads (the mapInPandas-shaped
+    * stage): per-doc scores are a mod-997 fold of the decoded 8×8 PPM
+    * pixels, aggregated per source. Scores are row-wise deterministic, so
+    * batch boundaries (a pure efficiency knob) cannot leak into results —
+    * which is exactly what lets the oracle check it. */
   def m3_batched_scores(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = Multimodal.attachFakePayload(
+    val withPayload = Multimodal.attachImagePayload(
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
-      "text")
-    Multimodal.scoreBatchedStub(withPayload, batchSize = 32)
+      "text", width = 8, height = 8, format = "ppm")
+    Multimodal.scoreBatched(withPayload, batchSize = 32, PixelMediaCodec)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("score")), 6).as("mean_score"))
@@ -803,21 +813,24 @@ object ExtensionQueries {
         |  list_aggregate(grams, 'min') AS min_gram,
         |  list_aggregate(grams, 'max') AS max_gram
         |FROM g ORDER BY doc_id""".stripMargin,
+    // m1/m3 replay the 8×8 PPM raster's closed form: decoded pixel i
+    // (i in 0..191) = ord(text[i mod len]) % 256. The Spark side round-trips
+    // through REAL P6 bytes (11-byte header + raster), so a header/format
+    // bug shifts every pixel and breaks these hashes.
     "m3_batched_scores" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  ROUND(AVG((COALESCE(list_sum(list_transform(
-        |      range(1, length(text) + 1),
-        |      p -> ord(substr(text, CAST(p AS INT), 1)))), 0) % 997)
+        |  ROUND(AVG((COALESCE(list_sum(list_transform(range(0, 192),
+        |      i -> ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) % 256)), 0) % 997)
         |    / 997.0), 6) AS mean_score
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_multimodal_features" ->
       """WITH f AS (
         |  SELECT source, text,
-        |    CAST(list_sum(list_transform(range(1, length(text) + 1, 8),
-        |        p -> ord(substr(text, CAST(p AS INT), 1)))) / 255.0 AS REAL) AS f0
+        |    CAST(list_sum(list_transform(range(0, 192, 8),
+        |        i -> ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) % 256)) / 255.0 AS REAL) AS f0
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(COUNT(*) * 203 AS BIGINT) AS total_bytes,
         |  ROUND(AVG(CAST(f0 AS DOUBLE)), 6) AS mean_f0
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "t1_text_stats" ->
