@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
 object Hll {
 
   val NumRegisters = 64
-  /** α₆₄·64² scaled by 1000: ⌊0.709·4096⌋·1000 = 2904064·1000⁻¹ kept as
-    * the (numerator, 1000) pair so the division stays integer-exact. */
+  /** α₆₄·64² scaled by 1000: ⌊0.709·4096·1000⌋ = 2904064, kept as the
+    * (numerator, 1000) pair so the division stays integer-exact. The
+    * constant is pinned in the Round18/19/24 oracle SQL literals — do not
+    * "simplify" it to ⌊0.709·4096⌋·1000 = 2904000, which breaks every
+    * HLL hash gate. */
   val AlphaM2x1000: BigInt = BigInt(2904064)
 
   private def pow2Dict(df: DataFrame): DataFrame = {
@@ -60,20 +63,26 @@ object Hll {
   }
 
   /** (groupCols..., hll_est, t56, zero_registers) from a register table:
-    * the raw HLL estimate as one exact integer division per group. */
+    * the raw HLL estimate as one exact integer division per group. The
+    * numerator α·m²·2^56/1000 ≈ 2.1·10²³ exceeds BIGINT, so the division
+    * runs as an integral divide over DECIMAL(38,0) columns — codegen'd
+    * and SQL-expressible, no driver-side UDF (r7 verdict ask #6; both
+    * operands positive, so decimal `div`'s truncation IS the BigInt floor
+    * division the oracles replay in HUGEINT). */
   def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    val est = udf((tPresent: Long, nb: Long) => {
-      val t56 = BigInt(tPresent) + BigInt(NumRegisters - nb) * BigInt(2).pow(56)
-      ((AlphaM2x1000 * BigInt(2).pow(56)) / (BigInt(1000) * t56)).toLong
-    })
+    val num = (AlphaM2x1000 * BigInt(2).pow(56)).toString
     regs.groupBy(g: _*)
       .agg(
         sum(expr("shiftleft(cast(1 as bigint), 56 - rmax)")).as("tp"),
         count(lit(1)).as("nb"))
-      .select(g :+ est(col("tp"), col("nb")).as("hll_est") :+
-        (col("tp") + (lit(NumRegisters.toLong) - col("nb")) *
-          expr("shiftleft(cast(1 as bigint), 56)")).as("t56") :+
+      .withColumn("t56", col("tp") +
+        (lit(NumRegisters.toLong) - col("nb")) *
+          expr("shiftleft(cast(1 as bigint), 56)"))
+      .select(g :+
+        expr(s"cast($num as decimal(38,0)) div " +
+          "(cast(t56 as decimal(38,0)) * 1000)").as("hll_est") :+
+        col("t56") :+
         (lit(NumRegisters.toLong) - col("nb")).as("zero_registers"): _*)
   }
 }

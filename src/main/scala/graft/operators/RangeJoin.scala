@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** [[pointInInterval]] with extra equi-join keys and an optional
+    * inclusive end bound — the attribution-window shape: "this user's
+    * clicks within the 30 minutes up to AND INCLUDING the purchase".
+    * Joining on (keys..., bucket) instead of keys alone is the skew
+    * guard: a power user's year of clicks no longer meets every one of
+    * their purchases in a single task — candidates are confined to the
+    * ≤ ⌈interval/width⌉+1 time buckets each interval overlaps, so the
+    * per-task work tracks the WINDOW's density, not the user's lifetime
+    * row count. */
+  def pointInIntervalKeyed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], pointCol: String, startCol: String, endCol: String,
+      bucketWidthSec: Long, endInclusive: Boolean = false): DataFrame = {
+    val w = lit(bucketWidthSec * 1000000L)
+    def us(c: String) =
+      unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+    val lb = left.withColumn("__bucket", floor(us(pointCol) / w))
+    val rb = right
+      .filter(if (endInclusive) col(endCol) >= col(startCol)
+        else col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(us(startCol) / w),
+        floor((if (endInclusive) us(endCol) else us(endCol) - 1) / w))))
+    val contained =
+      if (endInclusive)
+        col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+      else
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
+    lb.join(rb, (keys :+ "__bucket").toIndexedSeq)
+      .filter(contained)
+      .drop("__bucket")
+  }
+
   def pointInInterval(left: DataFrame, right: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidthSec: Long): DataFrame = {

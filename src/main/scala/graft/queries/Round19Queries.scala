@@ -47,10 +47,12 @@ object Round19Queries {
 
   // ── a9: p50/p90/p99 of l_extendedprice (in cents) from the $1000-wide
   //        histogram sketch, then the exact rank value recovered inside
-  //        the located bin only: cum-below(bin) tells how deep the global
-  //        rank sits within the bin, and a per-bin (partitioned, parallel)
-  //        row_number finds that element — the refinement touches one
-  //        bin's rows, not the table. ───────────────────────────────────
+  //        the located bins only: cum-below(bin) tells how deep the global
+  //        rank sits within the bin, a broadcast SEMI-JOIN against the ≤3
+  //        located bins prunes the table BEFORE the per-bin window, and a
+  //        per-bin (partitioned, parallel) row_number finds that element —
+  //        only the located bins' rows are shuffled/sorted, not the table
+  //        (r7 verdict ask #3; the pre-fix plan windowed every bin). ────
   def a9_quantile_hist(s: SparkSession, dir: String): DataFrame = {
     val binW = 100000L
     val cents = t(s, dir, "lineitem")
@@ -65,6 +67,8 @@ object Round19Queries {
       .select(col("bin"), col("below"))
     val rankedInBin = cents
       .withColumn("bin", expr("c div 100000"))
+      .join(broadcast(qe.select(col("bin")).distinct()), Seq("bin"),
+        "left_semi")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bin")).orderBy(col("c"))).cast(LongType))
     qe.join(below, "bin")

@@ -76,19 +76,25 @@ object Round21Queries {
 
   // ── q83: credits in basis points per position class. Middles split
   //        2000 by integer division; the remainder goes to the first
-  //        touch, so every purchase's credits sum to exactly 10000. ─────
+  //        touch, so every purchase's credits sum to exactly 10000.
+  //        The purchases×clicks meet runs through the bucketized
+  //        interval join on (user_id, 30-min bucket) — r7 verdict ask #5:
+  //        a power user's clicks meet only the ≤2 buckets each purchase
+  //        window overlaps, never the user's whole click history. ───────
   def q83_position_attribution(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     val e = raw.withColumn("ts_us", Tables.tsMicros(raw))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts_us").as("p_ts"))
+      .withColumn("w_start", col("p_ts") - expr("INTERVAL 30 MINUTES"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("c_id"),
         col("ts_us").as("c_ts"))
-    val joined = purchases.join(clicks, Seq("user_id"))
-      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
+    val joined = graft.operators.RangeJoin.pointInIntervalKeyed(
+        clicks, purchases, Seq("user_id"), "c_ts", "w_start", "p_ts",
+        bucketWidthSec = 1800L, endInclusive = true)
+      .drop("w_start")
     val pos = joined
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("p_id")).orderBy(col("c_ts"), col("c_id")))

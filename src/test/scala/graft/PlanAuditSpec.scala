@@ -384,4 +384,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"the per-doc argmax must stay doc-partitioned:\n$p")
   }
+
+  test("q83 attribution meets clicks on (user, time-bucket), never user alone") {
+    val p = plan("q83_position_attribution")
+    assert(p.contains("__bucket"),
+      s"the purchases×clicks join must run through the bucketized " +
+        s"interval shape (skew guard):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("a9 refinement semi-joins the located bins BELOW the per-bin window") {
+    // r7 verdict ask #3: the pre-fix plan ran row_number over every bin
+    // (a full table shuffle+sort to extract three rows). The located-bin
+    // semi-join must broadcast and sit under the window's exchange so only
+    // the ≤3 target bins' rows shuffle.
+    val p = executedPlan("a9_quantile_hist").split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"),
+      s"cents must be pruned to the located bins via a semi-join:\n$p")
+    val win = p.indexOf("Window")
+    val semi = p.indexOf("LeftSemi")
+    assert(win >= 0 && semi > win,
+      s"the semi-join must be a descendant of the window (filter before " +
+        s"shuffle), not above it:\n$p")
+  }
 }
