@@ -135,11 +135,20 @@ object CountMin {
   /** Dyadic CM sketch over `keys` (column `k`, non-negative longs):
     * each input key contributes its (level, k div 2^level) composite for
     * every level — still ONE map-side-combined aggregate, d·w cells,
-    * mergeable; the explode factor is the fixed level count, not data. */
+    * mergeable; the explode factor is the fixed level count, not data.
+    * Negative keys FAIL LOUDLY at execution (r7 ADVICE item): the
+    * composite key space (idx·16 + level) can't represent them, and the
+    * truncate-vs-floor `div` divergence would otherwise corrupt cells
+    * silently. */
   def dyadicSketch(keys: DataFrame, family: Seq[(Long, Long)],
-      w: Int): DataFrame =
-    sketch(keys.select(explode(array((0 until DyadicLevels).map(l =>
+      w: Int): DataFrame = {
+    val guarded = keys.select(expr(
+      "CASE WHEN k < 0 THEN CAST(raise_error(" +
+        "concat('dyadicSketch: negative key ', CAST(k AS STRING))) " +
+        "AS BIGINT) ELSE k END").as("k"))
+    sketch(guarded.select(explode(array((0 until DyadicLevels).map(l =>
       expr(s"k div ${1L << l}") * 16 + l): _*)).as("k")), family, w)
+  }
 
   /** Range-count estimate for [lo, hi) from a [[dyadicSketch]]: the sum
     * of the cover nodes' point estimates — each is an upper bound (CM

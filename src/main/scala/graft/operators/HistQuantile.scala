@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object HistQuantile {
 
-  /** (bin, cnt): fixed-width histogram of the long column `valueCol`
-    * (non-negative). One hash aggregate; at most domain/binWidth cells. */
+  /** (bin, cnt): fixed-width histogram of the long column `valueCol`.
+    * One hash aggregate; at most domain/binWidth cells. Binning is FLOOR
+    * division (`(v − pmod(v,w)) div w`), not Spark's truncate-toward-zero
+    * `div`: for negative values the two differ by one bin, and SQL
+    * engines' `//` floors — so a caller histogramming deltas gets the
+    * same bins from every engine instead of a silent oracle mismatch
+    * (r7 ADVICE item; for non-negative inputs the expressions are
+    * identical). */
   def histogram(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    df.groupBy(expr(s"`$valueCol` div $binWidth").as("bin"))
+    df.groupBy(
+        expr(s"(`$valueCol` - pmod(`$valueCol`, $binWidth)) div $binWidth")
+          .as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 

@@ -31,7 +31,21 @@ import scala.collection.mutable
   * most `partitions·keys·k` pre-filtered rows, then reduces the same
   * way after it. Top-k is a mergeable aggregate: topK(A ∪ B) =
   * topK(topK(A) ∪ topK(B)) — the partial/final split is lossless.
-  */
+  *
+  * Whole-stage codegen: DELIBERATELY NOT implemented (r7 verdict ask #8,
+  * decision recorded). The operator is *blocking* — it emits nothing
+  * until its input partition is exhausted — so joining a produce/consume
+  * pipeline would still have to materialize every kept row in the heap
+  * buffer; Spark draws the same line for its own bounded-top-k
+  * (`TakeOrderedAndProjectExec` is not `CodegenSupport` either). What
+  * matters for the hot path is preserved: the operator consumes its
+  * CHILD's codegen'd stage through one virtual iterator boundary (the
+  * same boundary a codegen'd stage pays at any exchange), the key
+  * projection is a generated `UnsafeProjection`, and the per-row cost is
+  * heap-bounded at O(log k). Measured at sf0.1 (micro-bench, SCALE.md):
+  * 600k-row lineitem, 20k keys, k=2 — custom 0.447 s vs window+filter
+  * 0.725 s warm; the gap is the avoided per-partition full sort, which
+  * only widens with rows/key. */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Expression,
     tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")

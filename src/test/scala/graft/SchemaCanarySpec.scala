@@ -24,10 +24,21 @@ class SchemaCanarySpec extends SparkSpec {
   }
 
   test("all declared queries construct and analyze on current fixtures") {
+    // eager builders (streaming twins, iterative collect loops, artifact
+    // writes) fully execute here; a per-query deadline keeps one hung
+    // stream from wedging the whole canary — it fails loudly by name
+    // instead (r7 ADVICE item). The worker thread may linger past the
+    // deadline; acceptable in a test JVM.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val deadline = 180.seconds
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, sf).schema; None }
+        try { Await.result(Future { fn(spark, sf).schema }, deadline); None }
         catch {
+          case _: java.util.concurrent.TimeoutException =>
+            Some(s"$name: exceeded the $deadline canary deadline (hung?)")
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             Some(s"$name: ${msg.linesIterator.take(2).mkString(" ")}")

@@ -94,4 +94,24 @@ class Round19QueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == rows)
   }
+
+  test("histogram bins floor (not truncate) so negatives match SQL // semantics") {
+    // -5 div 10 truncates to 0 but floors to -1; the oracle's `//` floors.
+    val vals = Seq(-25L, -20L, -1L, 0L, 9L, 10L, 19L).toDF("c")
+    val bins = HistQuantile.histogram(vals, "c", 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(-3L -> 1L, -2L -> 1L, -1L -> 1L, 0L -> 2L, 1L -> 2L),
+      s"floor-binning broken: $bins")
+  }
+
+  test("dyadicSketch rejects negative keys loudly instead of corrupting cells") {
+    val keys = Seq(3L, -7L, 12L).toDF("k")
+    val e = intercept[Exception] {
+      graft.operators.CountMin.dyadicSketch(
+        keys, graft.operators.CountMin.DefaultFamily, 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative key")), e.toString)
+  }
 }
