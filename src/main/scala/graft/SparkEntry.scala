@@ -46,7 +46,9 @@ object SparkEntry {
       graft.queries.Round23Queries.queries ++
       graft.queries.Round24Queries.queries ++
       graft.queries.Round25Queries.queries ++
-      graft.queries.Round26Queries.queries
+      graft.queries.Round26Queries.queries ++
+      graft.queries.Round27Queries.queries ++
+      graft.queries.Round28Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +79,7 @@ object SparkEntry {
       graft.queries.Round23Queries.oracles ++
       graft.queries.Round24Queries.oracles ++
       graft.queries.Round25Queries.oracles ++
-      graft.queries.Round26Queries.oracles
+      graft.queries.Round26Queries.oracles ++
+      graft.queries.Round27Queries.oracles ++
+      graft.queries.Round28Queries.oracles
 }

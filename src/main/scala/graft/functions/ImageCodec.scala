@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -230,6 +231,56 @@ object ImageCodec {
     case other => throw new IllegalArgumentException(s"image: unknown format '$other'")
   }
 
+  /** 2× average-pool downsample (the real resize kernel the round-1
+    * `resizePlan` only computed geometry for): each output sample is the
+    * floor-mean of its 2×2 input block, per channel — integer-exact, so
+    * SQL oracles replay it with `//`. Odd trailing row/column is dropped
+    * (floor semantics, the standard pooling convention). */
+  def downsample2x(d: DecodedImage): DecodedImage = {
+    val ow = d.width / 2
+    val oh = d.height / 2
+    val ch = d.channels
+    val out = new Array[Int](ow * oh * ch)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var c = 0
+        while (c < ch) {
+          val i00 = ((2 * y) * d.width + 2 * x) * ch + c
+          val i01 = i00 + ch
+          val i10 = i00 + d.width * ch
+          val i11 = i10 + ch
+          out((y * ow + x) * ch + c) =
+            (d.pixels(i00) + d.pixels(i01) + d.pixels(i10) + d.pixels(i11)) / 4
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(ow, oh, ch, out)
+  }
+
+  /** Static forwarder: decode → full pixel array (channel-interleaved,
+    * top-down) for column-level math over individual samples. */
+  def decodePixels(bytes: Array[Byte]): ArrayData =
+    new GenericArrayData(decode(bytes).pixels.map(Int.box(_): Any))
+
+  /** Static forwarder: decode → 2× average-pool → integer stats (same
+    * struct as [[statsRow]], over the POOLED raster). */
+  def downsampleStatsRow(bytes: Array[Byte]): InternalRow =
+    statsOf(downsample2x(decode(bytes)))
+
+  /** [[statsRow]] that returns null instead of throwing on corrupt
+    * payloads — the poison-pill posture a production media pipeline
+    * needs (drop and count bad blobs; don't kill the job 90 TB in).
+    * Only parse failures (`IllegalArgumentException`) are absorbed;
+    * genuine bugs still surface. */
+  def tryStatsRow(bytes: Array[Byte]): InternalRow =
+    try statsRow(bytes)
+    catch { case _: IllegalArgumentException => null }
+
   /** Schema of [[statsRow]] — every field integer-exact, so the oracle
     * hash gate has no float surface at all. */
   val statsSchema: StructType = StructType(Seq(
@@ -250,8 +301,9 @@ object ImageCodec {
     * decoder that forgot BMP's bottom-up order produces the right
     * per-channel sums but the wrong first row. Channel sums are the
     * BGR-order detector; `n_vals`/`sum_all` catch padding leaks. */
-  def statsRow(bytes: Array[Byte]): InternalRow = {
-    val d = decode(bytes)
+  def statsRow(bytes: Array[Byte]): InternalRow = statsOf(decode(bytes))
+
+  private def statsOf(d: DecodedImage): InternalRow = {
     val px = d.pixels
     var sumAll = 0L
     val ch = new Array[Long](3)
@@ -306,6 +358,56 @@ case class ImageStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Binary image payload → full pixel array (channel-interleaved,
+  * top-down ints) for sample-level column math — luminance, thresholds,
+  * any per-pixel derivation via higher-order array functions. */
+case class DecodePixels(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decode_pixels"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.decodePixels(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageCodec.decodePixels($c)")
+  override protected def withNewChildInternal(c: Expression): DecodePixels =
+    copy(child = c)
+}
+
+/** Binary image payload → decode → 2× average-pool → integer stats of
+  * the POOLED raster ([[ImageCodec.downsampleStatsRow]]): the real
+  * resize kernel fused with its summary, one tight loop per row. */
+case class ImageDownsampleStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageCodec.statsSchema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_downsample_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.downsampleStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ImageCodec.downsampleStatsRow($c)")
+  override protected def withNewChildInternal(c: Expression): ImageDownsampleStats =
+    copy(child = c)
+}
+
+/** [[ImageStats]] with poison-pill tolerance: corrupt payloads yield
+  * NULL (counted/dropped downstream) instead of failing the job —
+  * [[ImageCodec.tryStatsRow]]. Needs an explicit null flag in codegen,
+  * hence `nullSafeCodeGen` instead of `defineCodeGen`. */
+case class TryImageStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageCodec.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "try_image_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.tryStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageCodec.tryStatsRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): TryImageStats =
+    copy(child = c)
+}
+
 /** Column-API face for the image expressions. */
 object ImageExprs {
   def encodeImageFromText(text: Column, format: String, width: Int,
@@ -315,4 +417,13 @@ object ImageExprs {
 
   def imageStats(payload: Column): Column =
     ColumnBridge.column(ImageStats(ColumnBridge.expression(payload)))
+
+  def decodePixels(payload: Column): Column =
+    ColumnBridge.column(DecodePixels(ColumnBridge.expression(payload)))
+
+  def imageDownsampleStats(payload: Column): Column =
+    ColumnBridge.column(ImageDownsampleStats(ColumnBridge.expression(payload)))
+
+  def tryImageStats(payload: Column): Column =
+    ColumnBridge.column(TryImageStats(ColumnBridge.expression(payload)))
 }

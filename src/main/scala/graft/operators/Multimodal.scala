@@ -184,9 +184,10 @@ object Multimodal {
 
   /** Resize plan for image-like payloads: target dimensions that fit
     * `maxEdgePx` preserving aspect ratio (never upscaled). Pure column
-    * math over the metadata struct — the actual pixel transform is the
-    * decode stage's job (STUB, like [[decodeFeaturesStub]]); this computes
-    * the batch-wide geometry a resize kernel consumes. */
+    * math over the metadata struct — the geometry side of resizing; the
+    * pixel transform itself is real since round 8
+    * ([[graft.functions.ImageCodec.downsample2x]] /
+    * `ImageExprs.imageDownsampleStats`, exercised by m7). */
   def resizePlan(df: DataFrame, maxEdgePx: Int): DataFrame = {
     val w = col("media.width_px").cast(DoubleType)
     val h = col("media.height_px").cast(DoubleType)

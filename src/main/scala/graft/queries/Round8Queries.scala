@@ -286,6 +286,7 @@ object Round8Queries {
     corpusSetsDir(s, dir)
     corpusBandsDir(s, dir)
     Round4Queries.p18Tables(s, dir) // bucketed layout is an artifact too
+    Round26Queries.cmsArtifactDir(s, dir) // a12's dyadic CM rollup
     (System.nanoTime() - t0) / 1e9
   }
 

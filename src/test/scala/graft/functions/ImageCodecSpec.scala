@@ -116,6 +116,38 @@ class ImageCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](decode(bpp8))
   }
 
+  test("downsample2x floor-averages each 2x2 block per channel") {
+    import graft.functions.ImageCodec.{downsample2x, DecodedImage}
+    // gray 2×2: (1+2+3+4)/4 = 2 (floored from 2.5)
+    val g = downsample2x(DecodedImage(2, 2, 1, Array(1, 2, 3, 4)))
+    assert(g.width == 1 && g.height == 1 && g.pixels.toSeq == Seq(2))
+    // RGB 4×2 → 2×1: channels pool independently; row stride honored
+    val rgb = DecodedImage(4, 2, 3, Array(
+      // row 0: (10,0,0) (20,0,0) (0,30,0) (0,40,0)
+      10, 0, 0, 20, 0, 0, 0, 30, 0, 0, 40, 0,
+      // row 1: (30,0,0) (40,0,0) (0,50,0) (0,60,0)
+      30, 0, 0, 40, 0, 0, 0, 50, 0, 0, 60, 0))
+    val d = downsample2x(rgb)
+    assert(d.width == 2 && d.height == 1 && d.channels == 3)
+    assert(d.pixels.toSeq == Seq(25, 0, 0, 0, 45, 0),
+      s"block/channel pooling broken: ${d.pixels.toSeq}")
+    // odd dims: trailing row/column dropped (floor semantics)
+    val odd = downsample2x(DecodedImage(3, 3, 1,
+      Array(1, 2, 9, 3, 4, 9, 9, 9, 9)))
+    assert(odd.width == 1 && odd.height == 1 && odd.pixels.toSeq == Seq(2))
+  }
+
+  test("decodePixels column equals the raster the encoder laid down") {
+    val rows = docs
+      .withColumn("px", ImageExprs.decodePixels(
+        ImageExprs.encodeImageFromText(col("text"), "bmp", 5, 2)))
+      .select($"text", $"px").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) ==
+        textRaster(r.getString(0), 30).map(_ & 0xff).toSeq)
+    }
+  }
+
   test("textRaster is the codepoint fold the oracles replay") {
     assert(textRaster("AB", 5).toSeq == Seq[Byte](65, 66, 65, 66, 65))
     assert(textRaster("", 4).toSeq == Seq[Byte](0, 0, 0, 0))
