@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * decode/feature-extract stage.
   *
   * The Spark-side machinery here is real and tested — schema, partition
-  * batching, deterministic output shape. Since round 8 the image decode
-  * path is real too: [[PixelMediaCodec]] parses actual Netpbm/BMP payloads
-  * via [[graft.functions.ImageCodec]] and derives features from decoded
-  * pixels. [[StubMediaCodec]] remains as the deterministic test double for
-  * codecs this container genuinely lacks (audio/video); swapping either
-  * for a production decoder (JNI codec, ONNX runtime, …) changes only the
-  * [[MediaCodec]] implementation — the distributed plumbing is unchanged.
+  * batching, deterministic output shape. Since round 8 every UNCOMPRESSED
+  * media format decodes for real: [[PixelMediaCodec]] parses actual
+  * Netpbm/BMP payloads via [[graft.functions.ImageCodec]]; WAV/PCM audio
+  * decodes via [[graft.functions.AudioCodec]]; Y4M video via
+  * [[graft.functions.VideoCodec]]. [[StubMediaCodec]] remains as the
+  * deterministic test double standing in for COMPRESSED codecs this
+  * container genuinely lacks (JPEG/H.264/MP3 need JNI/ONNX libraries);
+  * swapping it for a production decoder changes only the [[MediaCodec]]
+  * implementation — the distributed plumbing is unchanged.
   */
 /** The decode seam: everything a real media decoder must provide to slot
   * into [[Multimodal]]'s distributed plumbing. Implementations must be
