@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.Round26Queries.queries ++
       graft.queries.Round27Queries.queries ++
       graft.queries.Round28Queries.queries ++
-      graft.queries.Round29Queries.queries
+      graft.queries.Round29Queries.queries ++
+      graft.queries.Round30Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.queries.Round26Queries.oracles ++
       graft.queries.Round27Queries.oracles ++
       graft.queries.Round28Queries.oracles ++
-      graft.queries.Round29Queries.oracles
+      graft.queries.Round29Queries.oracles ++
+      graft.queries.Round30Queries.oracles
 }

@@ -281,6 +281,38 @@ object ImageCodec {
     try statsRow(bytes)
     catch { case _: IllegalArgumentException => null }
 
+  /** Average-hash (aHash) of a decoded raster as 16-bit LSH BANDS:
+    * bit i = sample i ≥ ⌊mean⌋, packed little-endian 16 bits per band.
+    * Emitting bands directly (instead of one 64-bit hash) serves both
+    * consumers at once — banded candidate generation joins on
+    * (band_idx, band_value), and the exact Hamming distance is the
+    * popcount sum of band XORs — and keeps every value in integer
+    * ranges a SQL oracle replays without unsigned-64 gymnastics.
+    * Classic perceptual near-dup hash: small pixel perturbations flip
+    * few bits; unrelated images differ in ~half. */
+  def aHashBands(bytes: Array[Byte]): ArrayData = {
+    val px = decode(bytes).pixels
+    require(px.length % 16 == 0,
+      s"ahash: sample count ${px.length} not band-aligned")
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    val mean = sum / px.length
+    val bands = new Array[Any](px.length / 16)
+    var b = 0
+    while (b < bands.length) {
+      var v = 0
+      var j = 0
+      while (j < 16) {
+        if (px(16 * b + j) >= mean) v |= 1 << j
+        j += 1
+      }
+      bands(b) = v
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   /** Schema of [[statsRow]] — every field integer-exact, so the oracle
     * hash gate has no float surface at all. */
   val statsSchema: StructType = StructType(Seq(
@@ -408,6 +440,20 @@ case class TryImageStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Binary image payload → aHash as 16-bit LSH bands (array<int>),
+  * [[ImageCodec.aHashBands]]. */
+case class AHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ahash_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageCodec.aHashBands(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageCodec.aHashBands($c)")
+  override protected def withNewChildInternal(c: Expression): AHashBands =
+    copy(child = c)
+}
+
 /** Column-API face for the image expressions. */
 object ImageExprs {
   def encodeImageFromText(text: Column, format: String, width: Int,
@@ -426,4 +472,7 @@ object ImageExprs {
 
   def tryImageStats(payload: Column): Column =
     ColumnBridge.column(TryImageStats(ColumnBridge.expression(payload)))
+
+  def aHashBands(payload: Column): Column =
+    ColumnBridge.column(AHashBands(ColumnBridge.expression(payload)))
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.functions.ImageExprs
+
+/** Thirtieth batch — the real decoder joins the dedup family:
+  *
+  *  - d23: perceptual-hash image near-duplicate detection, the image-side
+  *    dedup a multimodal training corpus needs. Pipeline: decode the
+  *    8×8 P5 payload → average-hash (bit i = sample i ≥ ⌊mean⌋) emitted
+  *    directly as four 16-bit LSH BANDS → candidates meet through a
+  *    banded equi-join (never all-pairs — identical shape to the
+  *    SimHash/MinHash band path d3/d4 use) → exact Hamming verification
+  *    by popcount of band XORs → pairs at distance ≤ 6. The planted
+  *    near-dups are one-character text edits: the raster tiles the text
+  *    cyclically, so one codepoint edit perturbs ~⌈64/len⌉ pixels — the
+  *    small-perturbation regime perceptual hashing exists for; unrelated
+  *    images differ in ~32 bits. Every stage (hash, banding, candidates,
+  *    verification) is integer-exact and replayed by the oracle.
+  *
+  * Scale: banded candidates bound the join exactly like d4's SimHash
+  * bands — a band value shared by many images (near-constant rasters)
+  * is the known hot-bucket hazard; the d13b-style posting cap is the
+  * remedy if a real corpus hits it.
+  *
+  * Reference scope: extension beyond the reference surface (the
+  * reference's transform dialect is open, /root/reference/tools.py:58-65).
+  */
+object Round30Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def d23_image_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("concat(substring(text, 1, 5), 'q', substring(text, 7))")
+        .as("text"))
+    val corpus = docs.unionByName(variants)
+      .withColumn("bands", ImageExprs.aHashBands(
+        ImageExprs.encodeImageFromText(col("text"), "pgm", 8, 8)))
+      .select(col("doc_id"), col("bands"))
+    val exploded = corpus.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(corpus.select(col("doc_id").as("id_a"), col("bands").as("ba")),
+        "id_a")
+      .join(corpus.select(col("doc_id").as("id_b"), col("bands").as("bb")),
+        "id_b")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, h) -> acc + h)").cast(IntegerType))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_image_phash_dedup" -> (d23_image_phash_dedup _))
+
+  private def v(g: String): String =
+    s"(ord(substr(text, CAST((($g) % length(text)) + 1 AS INT), 1)) % 256)"
+
+  val oracles: Map[String, String] = Map(
+    "d23_image_phash_dedup" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    concat(substr(text, 1, 5), 'q', substr(text, 7)) AS text
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i -> ${v("i")}) AS p
+        |  FROM corpus),
+        |wm AS (
+        |  SELECT doc_id, p, CAST(list_sum(p) AS BIGINT) // 64 AS mean
+        |  FROM px),
+        |bands AS (
+        |  SELECT doc_id, CAST(t.b AS INT) AS band_idx,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN p[CAST(16*t.b + j + 1 AS INT)] >= mean
+        |        THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS band_val
+        |  FROM wm CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id),
+        |bl AS (
+        |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bv
+        |  FROM bands GROUP BY doc_id),
+        |ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 5), k ->
+        |      bit_count(xor(x.bv[CAST(k AS INT)], y.bv[CAST(k AS INT)]))))
+        |      AS INT) AS hamming
+        |  FROM cand
+        |  JOIN bl x ON x.doc_id = cand.id_a
+        |  JOIN bl y ON y.doc_id = cand.id_b)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)
+}

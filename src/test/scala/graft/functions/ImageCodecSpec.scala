@@ -204,6 +204,36 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("aHash bands: reference fold, perturbation locality, band coverage") {
+    import graft.functions.ImageCodec.aHashBands
+    def bands(text: String): Seq[Int] = {
+      val payload = graft.functions.ImageCodec.encodeFromText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), "pgm", 8, 8)
+      aHashBands(payload).toIntArray().toSeq
+    }
+    // reference fold
+    val t0 = "the quick brown fox jumps over the lazy dog repeatedly today"
+    val px = textRaster(t0, 64).map(_ & 0xff)
+    val mean = px.map(_.toLong).sum / 64
+    val expect = (0 until 4).map { b =>
+      (0 until 16).foldLeft(0) { (acc, j) =>
+        if (px(16 * b + j) >= mean) acc | (1 << j) else acc
+      }
+    }
+    assert(bands(t0) == expect)
+    // near-dup: one character edit on a 60-char text perturbs ~2 of 64
+    // samples; Hamming distance across bands stays small
+    val t1 = t0.updated(5, 'q')
+    val ham = bands(t0).zip(bands(t1))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(ham <= 6, s"one-char edit moved $ham bits")
+    // unrelated text lands far away
+    val t2 = "completely different content with other words entirely here"
+    val far = bands(t0).zip(bands(t2))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(far > 6, s"unrelated images must not collide: $far bits")
+  }
+
   test("encode + stats stay inside whole-stage codegen") {
     // a parquet-backed scan (local Seqs collapse to LocalTableScan, which
     // never codegens regardless of the expressions above it)
