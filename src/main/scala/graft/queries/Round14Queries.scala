@@ -85,9 +85,11 @@ object Round14Queries {
     val codes = Pq.encodeMapped(
       Kmeans.quantized(stream, "vec_id", "embedding"), cbLocal,
       m = 4, sub = 16)
-    val query = codes.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = codes.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name)
       .select(col("id").as("vec_id"), col("j"), col("code"))
       .orderBy(col("vec_id"), col("j"))

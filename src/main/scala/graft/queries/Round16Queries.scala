@@ -152,9 +152,11 @@ object Round16Queries {
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
     val cells = CountMin.sketch(stream.select(col("l_partkey").as("k")),
       CountMin.DefaultFamily, w = 256)
-    val query = cells.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = cells.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name).orderBy(col("i"), col("b"))
   }
 

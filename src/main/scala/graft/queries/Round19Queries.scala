@@ -91,9 +91,11 @@ object Round19Queries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("event_type"), col("user_id"))
     val regs = Hll.registers(stream, Seq("event_type"), "user_id")
-    val query = regs.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = regs.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name).orderBy(col("event_type"), col("bkt"))
   }
 

@@ -68,9 +68,11 @@ object Round21Queries {
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
       .select(round(col("l_extendedprice") * 100).cast(LongType).as("c"))
     val cells = HistQuantile.histogram(stream, "c", 100000L)
-    val query = cells.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = cells.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name).orderBy(col("bin"))
   }
 
@@ -128,9 +130,11 @@ object Round21Queries {
         "cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)")
         .as("k"))
     val cells = CountMin.dyadicSketch(stream, CountMin.DefaultFamily, CmW)
-    val query = cells.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = cells.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name).orderBy(col("i"), col("b"))
   }
 

@@ -76,9 +76,11 @@ object Round27Queries {
       sum(col("st.sum_all")).as("px_total"),
       min(col("st.px_min")).as("px_min"),
       max(col("st.px_max")).as("px_max"))
-    val query = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try query.processAllAvailable() finally query.stop()
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
     s.table(name).orderBy(col("source"))
   }
 

@@ -64,13 +64,47 @@ object Round30Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming twin of m9's media quarantine: continuous document
+    * ingest, per-row decode-or-NULL (`try_image_stats` is stateless, so
+    * poison pills can't wedge the stream), ONE stateful per-source
+    * aggregation in complete mode. Shares m9's oracle — the batch and
+    * streaming gates must agree count for count. */
+  def e23_stream_media_gate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_media_${streamSeq.incrementAndGet()}"
+    val schema = t(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("payload",
+        ImageExprs.encodeImageFromText(col("text"), "pgm", 8, 8))
+      .withColumn("payload",
+        when(col("doc_id") % 7 === 0, expr("substring(payload, 1, 9)"))
+          .otherwise(col("payload")))
+      .withColumn("st", ImageExprs.tryImageStats(col("payload")))
+    val agg = stream.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      count(col("st")).as("n_decoded"),
+      sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_rejected"),
+      sum(col("st.sum_all")).as("px_total"))
+    StreamConf.withStreamShuffle(s, 4) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(name).orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d23_image_phash_dedup" -> (d23_image_phash_dedup _))
+    "d23_image_phash_dedup"  -> (d23_image_phash_dedup _),
+    "e23_stream_media_gate"  -> (e23_stream_media_gate _))
 
   private def v(g: String): String =
     s"(ord(substr(text, CAST((($g) % length(text)) + 1 AS INT), 1)) % 256)"
 
   val oracles: Map[String, String] = Map(
+    // e23 is the streaming twin of m9 — same gate, same oracle
+    "e23_stream_media_gate" -> Round28Queries.oracles("m9_corrupt_tolerance"),
     "d23_image_phash_dedup" ->
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
