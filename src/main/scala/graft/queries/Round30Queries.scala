@@ -95,9 +95,45 @@ object Round30Queries {
     s.table(name).orderBy(col("source"))
   }
 
+  /** Cross-modal quality gate — the composite keep/drop decision a
+    * multimodal training pipeline makes per example, with each modality
+    * contributing one rule: TEXT must tokenize to ≥5 tokens, the decoded
+    * IMAGE must have ≥8 levels of dynamic range (near-constant rasters
+    * carry no signal), and the EMBEDDING must have ≥2 strong directions
+    * (|round(x·10⁶)| ≥ 250000 — unit-norm vectors all pass a norm gate,
+    * so the gate tests concentration instead). One corpus-sized 1:1 join
+    * (documents × embeddings on doc_id), per-rule failure counts ride
+    * along so a drifting modality is attributable. */
+  def p28_multimodal_gate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc + " +
+          "IF(abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) " +
+          ">= 250000, 1L, 0L))").as("strong"))
+    docs.join(emb, "doc_id")
+      .withColumn("st", ImageExprs.imageStats(
+        ImageExprs.encodeImageFromText(col("text"), "pgm", 8, 8)))
+      .withColumn("text_ok",
+        graft.functions.Text.tokenCount(col("text")) >= 5)
+      .withColumn("image_ok",
+        col("st.px_max") - col("st.px_min") >= 8)
+      .withColumn("embed_ok", col("strong") >= 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_ok") && col("image_ok") && col("embed_ok"), 1L)
+          .otherwise(0L)).as("n_keep"),
+        sum(when(!col("text_ok"), 1L).otherwise(0L)).as("n_text_fail"),
+        sum(when(!col("image_ok"), 1L).otherwise(0L)).as("n_image_fail"),
+        sum(when(!col("embed_ok"), 1L).otherwise(0L)).as("n_embed_fail"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_image_phash_dedup"  -> (d23_image_phash_dedup _),
-    "e23_stream_media_gate"  -> (e23_stream_media_gate _))
+    "e23_stream_media_gate"  -> (e23_stream_media_gate _),
+    "p28_multimodal_gate"    -> (p28_multimodal_gate _))
 
   private def v(g: String): String =
     s"(ord(substr(text, CAST((($g) % length(text)) + 1 AS INT), 1)) % 256)"
@@ -105,6 +141,31 @@ object Round30Queries {
   val oracles: Map[String, String] = Map(
     // e23 is the streaming twin of m9 — same gate, same oracle
     "e23_stream_media_gate" -> Round28Queries.oracles("m9_corrupt_tolerance"),
+    "p28_multimodal_gate" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS doc_id,
+        |    SUM(CASE WHEN abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+        |      AS BIGINT)) >= 250000 THEN 1 ELSE 0 END) AS strong
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT d.source,
+        |    len(string_split_regex(trim(d.text), '\\s+')) >= 5 AS text_ok,
+        |    (list_max(list_transform(range(0, 64), i -> ${v("i")})) -
+        |     list_min(list_transform(range(0, 64), i -> ${v("i")}))) >= 8
+        |      AS image_ok,
+        |    q.strong >= 2 AS embed_ok
+        |  FROM documents d JOIN q USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text_ok AND image_ok AND embed_ok
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN NOT text_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_text_fail,
+        |  CAST(SUM(CASE WHEN NOT image_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_image_fail,
+        |  CAST(SUM(CASE WHEN NOT embed_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_embed_fail
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "d23_image_phash_dedup" ->
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -78,4 +78,24 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(one == many,
       "range sort + zipWithIndex must reproduce the total order")
   }
+
+  test("image aHash band dedup pairs are bit-identical across partitionings") {
+    import graft.functions.ImageExprs
+    def pairs(parts: Int) = {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"text").repartition(parts)
+      val corpus = docs.unionByName(docs.select(($"doc_id" + 1000000L).as("doc_id"),
+          expr("concat(substring(text, 1, 5), 'q', substring(text, 7))").as("text")))
+        .withColumn("bands", ImageExprs.aHashBands(
+          ImageExprs.encodeImageFromText($"text", "pgm", 8, 8)))
+      val ex = corpus.select($"doc_id",
+        posexplode($"bands").as(Seq("band_idx", "band_val")))
+      canon(ex.as("a").join(ex.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id").distinct())
+    }
+    assert(pairs(1) == pairs(13),
+      "integer hash bits and distinct pairs must not depend on layout")
+  }
 }
