@@ -50,7 +50,9 @@ object SparkEntry {
       graft.queries.Round27Queries.queries ++
       graft.queries.Round28Queries.queries ++
       graft.queries.Round29Queries.queries ++
-      graft.queries.Round30Queries.queries
+      graft.queries.Round30Queries.queries ++
+      graft.queries.Round31Queries.queries ++
+      graft.queries.Round32Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -85,5 +87,7 @@ object SparkEntry {
       graft.queries.Round27Queries.oracles ++
       graft.queries.Round28Queries.oracles ++
       graft.queries.Round29Queries.oracles ++
-      graft.queries.Round30Queries.oracles
+      graft.queries.Round30Queries.oracles ++
+      graft.queries.Round31Queries.oracles ++
+      graft.queries.Round32Queries.oracles
 }

@@ -421,22 +421,29 @@ object Dedup {
     * and reproducible bit-for-bit by any engine (the SQL oracle recomputes
     * the buckets from the same mod-power tables, turning this from a
     * rows-only check into a full hash-match). */
-  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+  /** The integer random-hyperplane LSH bucket of a vector column: sign
+    * bit per plane over the `round(x·10⁶)` quantization, planes from
+    * [[lshPlaneCoef]]. Exact BIGINT arithmetic end to end, so any engine
+    * with the two mod-power tables recomputes the same bucket (the d5 /
+    * s13 oracle contract). */
+  def lshBucket(vec: org.apache.spark.sql.Column, dim: Int,
+      nPlanes: Int): org.apache.spark.sql.Column = {
     val planes: Array[Seq[Long]] = Array.tabulate(nPlanes)(j =>
       (0 until dim).map(i => lshPlaneCoef(j, i)))
-    val quantized = transform(col("v"),
+    val quantized = transform(vec,
       x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
-    val bucket = (0 until nPlanes).map { j =>
+    (0 until nPlanes).map { j =>
       val dot = aggregate(
-        zip_with(col("q"), typedLit(planes(j)), (x, c) => x * c),
+        zip_with(quantized, typedLit(planes(j)), (x, c) => x * c),
         lit(0L), (a, y) => a + y)
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("q", quantized)
-      .withColumn("bucket", bucket)
-      .drop("q")
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
     val cos = Vectors.cosine(col("x.v"), col("y.v"))
     bucketed.as("x")
       .join(bucketed.as("y"),

@@ -367,6 +367,90 @@ object Graph {
     dist
   }
 
+  /** Onion-layer (k-core peeling) decomposition: repeatedly delete every
+    * node whose degree in the *surviving* subgraph is < k; the layer of a
+    * node is the round that deletes it (survivors of all `rounds` get
+    * layer `rounds`+1 — for a converged run that residue IS the k-core).
+    * The layer profile is the "graph degeneracy ordering" summary used to
+    * find dense cores and flag spam/bot cliques in interaction graphs
+    * (Seidman 1983; Batagelj–Zaveršnik 2003 is the sequential algorithm,
+    * this is its synchronous distributed form).
+    *
+    * Runs EXACTLY `rounds` peels — converged rounds are cheap no-ops
+    * (the degree aggregate over an unchanged survivor set) — so the
+    * result is deterministic and an unrolled SQL oracle replays it even
+    * when the caller under-provisions `rounds`. Each round is two
+    * survivor semi-joins + one degree aggregate (the [[bfs]] shuffle
+    * shape), `localCheckpoint`-flattened; the edge relation never
+    * re-materializes. Returns (`n`, `layer`). */
+  def onionLayers(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val und = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var surv = und.select(col("u").as("n")).distinct().localCheckpoint(true)
+    var layers = surv.select(col("n"), lit(0).as("layer")).limit(0)
+    for (r <- 1 to rounds) {
+      val next = und
+        .join(surv.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("n"))
+        .localCheckpoint(true)
+      val dropped = surv.join(next, Seq("n"), "left_anti")
+        .select(col("n"), lit(r).as("layer"))
+      layers = layers.union(dropped).localCheckpoint(true)
+      surv = next
+    }
+    layers.union(surv.select(col("n"), lit(rounds + 1).as("layer")))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), the linear-time
+    * community-detection baseline: every node starts labeled with its own
+    * id; each iteration every node simultaneously adopts the label most
+    * frequent among its neighbors, ties broken by the smaller label.
+    * The mode-with-min-tie-break update is fully deterministic (no random
+    * visit order — the usual LPA nondeterminism is traded for
+    * oracle-replayable synchronous rounds; the known cost is possible
+    * label oscillation on bipartite-ish structure, bounded here by the
+    * fixed iteration count). Unlike [[connectedComponents]]' min-label
+    * collapse, the mode update respects edge DENSITY — one bridge edge
+    * between two dense groups does not merge them.
+    *
+    * Each iteration: one adjacency⋈labels join (shuffle on the join key),
+    * one (node,label) count aggregate, one per-node argmax window — all
+    * keyed by node, so partitioning is stable across rounds at any scale.
+    * Returns (`n`, `l`) after exactly `iters` rounds. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var lab = und.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("l"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val nb = und.join(lab.withColumnRenamed("n", "v"), "v")
+        .select(col("u").as("n"), col("l"))
+      val cnt = nb.groupBy(col("n"), col("l")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("l"))
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("l"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   /** Widest (maximum-bottleneck) path from `source`: cap(v) = max over
     * paths of the minimum edge weight — the capacity-planning dual of
     * [[sssp]], relaxing with max(min(cap(u), w)) instead of min(cap(u)+w).

@@ -593,13 +593,13 @@ object ExtensionQueries {
     * i — the two power tables from which DuckDB recomputes
     * [[graft.operators.Dedup.lshPlaneCoef]]'s hyperplane coefficients in
     * HUGEINT (d5 runs 4 planes over 64-dim embeddings). */
-  private val lshPlanePowers: String = {
+  private[queries] val lshPlanePowers: String = {
     import graft.operators.Dedup
     (0 until 4).map(j =>
       s"($j, ${BigInt(Dedup.LshB1).modPow(j + 1, Dedup.LshM)})")
       .mkString(", ")
   }
-  private val lshDimPowers: String = {
+  private[queries] val lshDimPowers: String = {
     import graft.operators.Dedup
     (0 until 64).map(i =>
       s"($i, ${BigInt(Dedup.LshB2).modPow(i + 1, Dedup.LshM)})")

@@ -203,4 +203,51 @@ class GraphSpec extends SparkSpec {
       assert(bucketized == naive)
     }
   }
+
+  test("onionLayers peels a chain one layer per cascade round") {
+    // 1-2-3-4-5 with k=2: round 1 drops the endpoints, round 2 drops 2,4
+    // (their degree fell to 1), round 3 drops the now-isolated 3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.onionLayers(es, "a", "b", k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2, 3L -> 3))
+  }
+
+  test("onionLayers leaves a k-core as the survivor layer") {
+    // triangle {1,2,3} + pendant 4: the pendant peels in round 1, the
+    // triangle is a 2-core and survives every round → layer rounds+1
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.onionLayers(es, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(4L -> 1, 1L -> 4, 2L -> 4, 3L -> 4))
+  }
+
+  test("labelPropagation keeps bridged dense groups apart where CC merges") {
+    // two triangles joined by one bridge edge 3-4: the mode update keeps
+    // two communities (hand-traced 3 synchronous rounds); CC collapses
+    // everything to one label — the density-vs-connectivity contrast
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val lpa = Graph.labelPropagation(es, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(lpa.values.toSet.size == 2)
+    val cc = Graph.connectedComponents(es, "a", "b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc == Set(1L))
+  }
+
+  test("labelPropagation is deterministic across partitionings") {
+    val rnd = new scala.util.Random(31)
+    val es = Seq.fill(60)((rnd.nextLong(30), rnd.nextLong(30)))
+      .filter { case (a, b) => a != b }
+    val one = Graph.labelPropagation(es.toDF("a", "b").repartition(1),
+        "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Graph.labelPropagation(es.toDF("a", "b").repartition(13),
+        "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
 }
