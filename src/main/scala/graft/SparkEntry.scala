@@ -52,7 +52,9 @@ object SparkEntry {
       graft.queries.Round29Queries.queries ++
       graft.queries.Round30Queries.queries ++
       graft.queries.Round31Queries.queries ++
-      graft.queries.Round32Queries.queries
+      graft.queries.Round32Queries.queries ++
+      graft.queries.Round33Queries.queries ++
+      graft.queries.Round34Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -89,5 +91,7 @@ object SparkEntry {
       graft.queries.Round29Queries.oracles ++
       graft.queries.Round30Queries.oracles ++
       graft.queries.Round31Queries.oracles ++
-      graft.queries.Round32Queries.oracles
+      graft.queries.Round32Queries.oracles ++
+      graft.queries.Round33Queries.oracles ++
+      graft.queries.Round34Queries.oracles
 }

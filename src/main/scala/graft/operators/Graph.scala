@@ -367,6 +367,91 @@ object Graph {
     dist
   }
 
+  /** Personalized PageRank from a single seed (Page et al. '99 §6;
+    * Jeh–Widom 2003): the random walk restarts at `seed` instead of a
+    * uniform jump, so the stationary mass measures proximity TO THE SEED —
+    * the "similar items" / "people also bought" primitive, where global
+    * PageRank measures importance. r₀ = 1 at the seed; each iteration
+    * r(v) ← (1−d)·[v=seed] + d·Σ_{u∈N(v)} r(u)/deg(u).
+    *
+    * The rank frontier stays SPARSE: after t iterations only nodes within
+    * t hops of the seed carry rank, so each contribution join touches the
+    * reached neighborhood, not the graph — the locality that makes PPR
+    * the scale-friendly similarity measure. Determinism discipline is
+    * [[pageRank]]'s: contributions round to DECIMAL(28,12) pre-sum, ranks
+    * round to 12 decimals, and the base term is the IEEE double `1.0 − d`
+    * so an unrolled SQL oracle replays every value. Returns (node, r) for
+    * reached nodes only. */
+  def personalizedPageRank(edges: DataFrame, aCol: String, bCol: String,
+      seed: Long, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = Seq((seed, 1.0)).toDF("node", "r")
+    val seedZero = Seq(seed).toDF("v")
+      .withColumn("c", lit(0).cast(DecimalType(28, 12)))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(ranks, col("u") === col("node"))
+        .join(deg, "u")
+        .select(col("v"),
+          round(col("r") / col("deg") * lit(damping), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      ranks = contrib.union(seedZero)
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("c")).cast(DoubleType).as("s"))
+        .select(col("node"),
+          round(col("s") + when(col("node") === seed,
+            lit(1.0) - lit(damping)).otherwise(lit(0.0)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Per-node local clustering coefficient (Watts–Strogatz 1998): the
+    * fraction of a node's neighbor pairs that are themselves connected —
+    * closed wedges / (deg·(deg−1)/2), reported in exact integer basis
+    * points. The bot-detection / community-cohesion feature: real social
+    * neighborhoods are cliquish (high CC), spam fans are stars (CC ≈ 0).
+    *
+    * Cost is the Σdeg² wedge join of [[triangleCount]] plus a semi-join
+    * probe into the edge set, grouped by the wedge CENTER (triangleCount
+    * groups by nothing; here each closed wedge credits its center, so
+    * every triangle contributes to all three nodes' coefficients). Only
+    * nodes with deg ≥ 2 appear (coefficient undefined below). Returns
+    * (node, deg, n_closed, cc_bp). */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = und.as("x").join(und.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("n"), col("x.v").as("a"), col("y.v").as("b"))
+    val closed = wedges.join(e,
+        col("a") === col("u") && col("b") === col("v"), "left_semi")
+      .groupBy(col("n")).agg(count(lit(1)).as("n_closed"))
+    deg.filter(col("deg") >= 2)
+      .join(closed, Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"),
+        expr("coalesce(n_closed, 0) * 10000 div (deg * (deg - 1) div 2)")
+          .as("cc_bp"))
+  }
+
   /** Onion-layer (k-core peeling) decomposition: repeatedly delete every
     * node whose degree in the *surviving* subgraph is < k; the layer of a
     * node is the round that deletes it (survivors of all `rounds` get

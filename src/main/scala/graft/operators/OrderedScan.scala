@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-key ORDER-DEPENDENT stateful scans — the fold shapes window
+  * functions cannot express (a running aggregate whose next value depends
+  * non-linearly on its previous value, e.g. a clamp).
+  *
+  * Execution shape is the classic secondary sort: hash-repartition by key,
+  * sort each partition by (key, order...), then ONE linear `mapPartitions`
+  * pass carrying O(1) state per key. No per-key materialization (a
+  * `groupByKey().mapGroups` would buffer each key's rows; here keys stream
+  * through in order), no driver involvement, and the shuffle is the same
+  * single exchange a window over the key would pay — so a 100 TB event log
+  * scans at full parallelism, bounded by the largest single partition, not
+  * the largest key.
+  */
+object OrderedScan {
+
+  /** Clamped (floor-at-zero) running balance per key: starting from 0,
+    * bal ← max(bal + delta, 0) in event order — the inventory/credit
+    * semantics ("stock cannot go negative") that plain SUM() OVER cannot
+    * express because the clamp makes the recurrence non-associative.
+    *
+    * Input columns are Spark SQL expressions; `orderCols` must be a
+    * deterministic total order within each key (include a unique
+    * tiebreaker). Returns one row per key:
+    * (key, n_steps, n_clamps, max_balance, final_balance) — n_clamps
+    * counts steps where the clamp engaged (bal + delta < 0), max_balance
+    * is the maximum post-step balance. Exact BIGINT arithmetic. */
+  def cappedBalance(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      deltaCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(keyCol.cast("long").as("k") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+        deltaCol.cast("long").as("delta"): _*)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k") +: orderCols.indices.map(i => col(s"o$i")): _*)
+      .select(col("k"), col("delta"))
+      .as[(Long, Long)]
+    prepared.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var pending: Option[(Long, Long, Long, Long, Long)] = None
+        private var cur = Option.empty[Long] // current key
+        private var bal, mx, clamps, steps = 0L
+        private def emit(): (Long, Long, Long, Long, Long) =
+          (cur.get, steps, clamps, mx, bal)
+        private def reset(k: Long): Unit = {
+          cur = Some(k); bal = 0L; mx = 0L; clamps = 0L; steps = 0L
+        }
+        private def step(delta: Long): Unit = {
+          val next = bal + delta
+          if (next < 0) { clamps += 1; bal = 0L } else bal = next
+          if (bal > mx) mx = bal
+          steps += 1
+        }
+        override def hasNext: Boolean = pending.nonEmpty || {
+          while (it.hasNext && pending.isEmpty) {
+            val (k, d) = it.next()
+            if (cur.contains(k)) step(d)
+            else {
+              if (cur.nonEmpty) pending = Some(emit())
+              reset(k); step(d)
+            }
+          }
+          if (pending.isEmpty && cur.nonEmpty) { pending = Some(emit()); cur = None }
+          pending.nonEmpty
+        }
+        override def next(): (Long, Long, Long, Long, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("k", "n_steps", "n_clamps", "max_balance", "final_balance")
+  }
+}

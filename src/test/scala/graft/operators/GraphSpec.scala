@@ -238,6 +238,47 @@ class GraphSpec extends SparkSpec {
     assert(cc == Set(1L))
   }
 
+  test("clusteringCoefficient: triangle nodes are cliques, hub is diluted") {
+    // triangle {1,2,3} + pendant 4 on node 1: nodes 2,3 have their single
+    // neighbor pair closed (cc = 10000 bp); node 1 closes 1 of its 3
+    // neighbor pairs (3333 bp); node 4 (deg 1) is excluded
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(es, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (3L, 1L, 3333L), 2L -> (2L, 1L, 10000L),
+      3L -> (2L, 1L, 10000L)))
+  }
+
+  test("personalizedPageRank stays sparse and concentrates at the seed") {
+    // chain 1-2-3-4-5-6-7, seed 1, 2 iterations: rank reaches only nodes
+    // within 2 hops; the seed holds the maximum; mass never exceeds 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("a", "b")
+    val r = Graph.personalizedPageRank(chain, "a", "b", seed = 1L,
+        iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == r.values.max)
+    assert(r.values.sum <= 1.0 + 1e-9)
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("personalizedPageRank is deterministic across partitionings") {
+    val rnd = new scala.util.Random(47)
+    val es = Seq.fill(50)((rnd.nextLong(20), rnd.nextLong(20)))
+      .filter { case (a, b) => a != b }
+    val one = Graph.personalizedPageRank(
+        es.toDF("a", "b").repartition(1), "a", "b", seed = 0L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val many = Graph.personalizedPageRank(
+        es.toDF("a", "b").repartition(11), "a", "b", seed = 0L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(one == many)
+  }
+
   test("labelPropagation is deterministic across partitionings") {
     val rnd = new scala.util.Random(31)
     val es = Seq.fill(60)((rnd.nextLong(30), rnd.nextLong(30)))
