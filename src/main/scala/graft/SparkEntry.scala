@@ -54,7 +54,8 @@ object SparkEntry {
       graft.queries.Round31Queries.queries ++
       graft.queries.Round32Queries.queries ++
       graft.queries.Round33Queries.queries ++
-      graft.queries.Round34Queries.queries
+      graft.queries.Round34Queries.queries ++
+      graft.queries.Round35Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +94,6 @@ object SparkEntry {
       graft.queries.Round31Queries.oracles ++
       graft.queries.Round32Queries.oracles ++
       graft.queries.Round33Queries.oracles ++
-      graft.queries.Round34Queries.oracles
+      graft.queries.Round34Queries.oracles ++
+      graft.queries.Round35Queries.oracles
 }
