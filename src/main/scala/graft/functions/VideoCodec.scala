@@ -182,6 +182,23 @@ object VideoCodec {
       Long.box(s): Any
     })
   }
+
+  /** Static forwarder: decode → mean-absolute-frame-difference signal,
+    * Σ_i |y_f[i] − y_{f−1}[i]| over the luma plane for each consecutive
+    * frame pair (array length n_frames − 1). The MAFD series is the
+    * classic shot-boundary / scene-cut feature (a cut is a spike; a
+    * static scene is ≈0) and the temporal-redundancy signal a video
+    * training pipeline samples frames by. */
+  def frameYDeltas(bytes: Array[Byte]): ArrayData = {
+    val d = decodeY4m(bytes)
+    val ySize = d.width * d.height
+    new GenericArrayData((1 until d.frames.length).map { f =>
+      val a = d.frames(f - 1); val b = d.frames(f)
+      var s = 0L; var i = 0
+      while (i < ySize) { s += math.abs(b(i) - a(i)); i += 1 }
+      Long.box(s): Any
+    }.toArray[Any])
+  }
 }
 
 /** Text → Y4M payload ([[VideoCodec.encodeFromText]]); codegen'd. */
@@ -227,6 +244,21 @@ case class Y4mFrameYSums(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Y4M payload → per-consecutive-frame luma abs-difference sums
+  * (array<long>, length n_frames − 1) — the scene-cut / temporal-
+  * redundancy signal ([[VideoCodec.frameYDeltas]]). */
+case class Y4mFrameYDeltas(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "y4m_frame_y_deltas"
+  override protected def nullSafeEval(input: Any): Any =
+    VideoCodec.frameYDeltas(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VideoCodec.frameYDeltas($c)")
+  override protected def withNewChildInternal(c: Expression): Y4mFrameYDeltas =
+    copy(child = c)
+}
+
 object VideoExprs {
   def encodeY4mFromText(text: Column, width: Int, height: Int,
       nFrames: Int, omitC: Boolean): Column =
@@ -238,4 +270,7 @@ object VideoExprs {
 
   def frameYSums(payload: Column): Column =
     ColumnBridge.column(Y4mFrameYSums(ColumnBridge.expression(payload)))
+
+  def frameYDeltas(payload: Column): Column =
+    ColumnBridge.column(Y4mFrameYDeltas(ColumnBridge.expression(payload)))
 }

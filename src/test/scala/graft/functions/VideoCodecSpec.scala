@@ -80,4 +80,32 @@ class VideoCodecSpec extends SparkSpec {
       assert(r.getSeq[Long](5) == ySums.toSeq)
     }
   }
+
+  test("frameYDeltas: MAFD of hand-built frames; static scene reads zero") {
+    // frame0 Y = 0..3, frame1 Y = 10,18,33,44 → Σ|Δ| = 10+17+31+41 = 99;
+    // frame2 repeats frame1 → delta 0 (chroma changes must NOT count)
+    val f0 = Array.tabulate(6)(i => i.toByte)
+    val f1 = Array[Byte](10, 19, 35, 47, 99, 99)
+    val f2 = Array[Byte](10, 19, 35, 47, 1, 2)
+    val enc = encodeY4m(2, 2, 25, 1, Seq(f0, f1, f2))
+    val got = VideoCodec.frameYDeltas(enc)
+    assert(got.toLongArray().toSeq ==
+      Seq((10 - 0) + (19 - 1) + (35 - 2) + (47 - 3), 0L))
+  }
+
+  test("frameYDeltas matches a direct fold over text fixtures") {
+    val rows = Seq("abcdefgh", "scene cut material", "xy")
+      .toDF("text")
+      .withColumn("payload",
+        VideoExprs.encodeY4mFromText($"text", 8, 8, 4, omitC = false))
+      .select($"text", VideoExprs.frameYDeltas($"payload").as("ds"))
+      .collect()
+    rows.foreach { r =>
+      val frames = textFrames(r.getString(0), 8, 8, 4).map(_.map(_ & 0xff))
+      val want = (1 until 4).map(f =>
+        (0 until 64).map(i =>
+          math.abs(frames(f)(i) - frames(f - 1)(i)).toLong).sum)
+      assert(r.getSeq[Long](1) == want)
+    }
+  }
 }
