@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.Round33Queries.queries ++
       graft.queries.Round34Queries.queries ++
       graft.queries.Round35Queries.queries ++
-      graft.queries.Round36Queries.queries
+      graft.queries.Round36Queries.queries ++
+      graft.queries.Round37Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +98,6 @@ object SparkEntry {
       graft.queries.Round33Queries.oracles ++
       graft.queries.Round34Queries.oracles ++
       graft.queries.Round35Queries.oracles ++
-      graft.queries.Round36Queries.oracles
+      graft.queries.Round36Queries.oracles ++
+      graft.queries.Round37Queries.oracles
 }
