@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.Round34Queries.queries ++
       graft.queries.Round35Queries.queries ++
       graft.queries.Round36Queries.queries ++
-      graft.queries.Round37Queries.queries
+      graft.queries.Round37Queries.queries ++
+      graft.queries.Round38Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -99,5 +100,6 @@ object SparkEntry {
       graft.queries.Round34Queries.oracles ++
       graft.queries.Round35Queries.oracles ++
       graft.queries.Round36Queries.oracles ++
-      graft.queries.Round37Queries.oracles
+      graft.queries.Round37Queries.oracles ++
+      graft.queries.Round38Queries.oracles
 }
