@@ -58,7 +58,8 @@ object SparkEntry {
       graft.queries.Round35Queries.queries ++
       graft.queries.Round36Queries.queries ++
       graft.queries.Round37Queries.queries ++
-      graft.queries.Round38Queries.queries
+      graft.queries.Round38Queries.queries ++
+      graft.queries.Round39Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -101,5 +102,6 @@ object SparkEntry {
       graft.queries.Round35Queries.oracles ++
       graft.queries.Round36Queries.oracles ++
       graft.queries.Round37Queries.oracles ++
-      graft.queries.Round38Queries.oracles
+      graft.queries.Round38Queries.oracles ++
+      graft.queries.Round39Queries.oracles
 }

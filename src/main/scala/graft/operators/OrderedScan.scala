@@ -29,6 +29,61 @@ object OrderedScan {
     * (key, n_steps, n_clamps, max_balance, final_balance) — n_clamps
     * counts steps where the clamp engaged (bal + delta < 0), max_balance
     * is the maximum post-step balance. Exact BIGINT arithmetic. */
+  /** Integer EWMA with α = 1/2 per key: s ← (s + x) div 2 in order
+    * (s₁ = x₁) — exponential smoothing kept on the integer lattice so
+    * both engines replay it exactly. Like the clamp, the halving makes
+    * the recurrence non-associative (truncation loses low bits at every
+    * step), so no window SUM expresses it; same secondary-sort execution
+    * shape as [[cappedBalance]]. Returns one row per key:
+    * (key, n_steps, max_ewma, final_ewma). */
+  def halvingEwma(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(keyCol.cast("string").as("k") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+        valueCol.cast("long").as("x"): _*)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k") +: orderCols.indices.map(i => col(s"o$i")): _*)
+      .select(col("k"), col("x"))
+      .as[(String, Long)]
+    prepared.mapPartitions { it =>
+      new Iterator[(String, Long, Long, Long)] {
+        private var pending: Option[(String, Long, Long, Long)] = None
+        private var cur = Option.empty[String]
+        private var s, mx, steps = 0L
+        private var first = true
+        private def emit() = (cur.get, steps, mx, s)
+        private def reset(k: String): Unit = {
+          cur = Some(k); s = 0L; mx = Long.MinValue; steps = 0L; first = true
+        }
+        private def step(x: Long): Unit = {
+          s = if (first) x else (s + x) / 2
+          first = false
+          if (s > mx) mx = s
+          steps += 1
+        }
+        override def hasNext: Boolean = pending.nonEmpty || {
+          while (it.hasNext && pending.isEmpty) {
+            val (k, x) = it.next()
+            if (cur.contains(k)) step(x)
+            else {
+              if (cur.nonEmpty) pending = Some(emit())
+              reset(k); step(x)
+            }
+          }
+          if (pending.isEmpty && cur.nonEmpty) { pending = Some(emit()); cur = None }
+          pending.nonEmpty
+        }
+        override def next(): (String, Long, Long, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("k", "n_steps", "max_ewma", "final_ewma")
+  }
+
   def cappedBalance(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
       deltaCol: Column): DataFrame = {
     val spark = df.sparkSession

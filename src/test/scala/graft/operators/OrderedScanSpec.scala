@@ -46,6 +46,36 @@ class OrderedScanSpec extends SparkSpec {
     assert(run(rows, 1) == run(rows, 17))
   }
 
+  test("halvingEwma matches the sequential fold and is partition-invariant") {
+    def ewmaTruth(rows: Seq[(String, Long, Long)])
+        : Map[String, (Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        var s = 0L; var mx = Long.MinValue; var first = true
+        rs.sortBy(_._2).foreach { case (_, _, x) =>
+          s = if (first) x else (s + x) / 2
+          first = false
+          if (s > mx) mx = s
+        }
+        k -> (rs.size.toLong, mx, s)
+      }
+    def run(rows: Seq[(String, Long, Long)], parts: Int) =
+      OrderedScan.halvingEwma(
+          rows.toDF("k", "ord", "x").repartition(parts),
+          col("k"), Seq(col("ord")), col("x"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toMap
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.tabulate(300)(i =>
+      (s"t${rnd.nextInt(7)}", i.toLong, rnd.nextLong(1000)))
+    assert(run(rows, 5) == ewmaTruth(rows))
+    assert(run(rows, 1) == run(rows, 13))
+    // hand case: 8, (8+0)/2=4, (4+9)/2=6 → final 6, max 8
+    assert(run(Seq(("a", 1L, 8L), ("a", 2L, 0L), ("a", 3L, 9L)), 2) ==
+      Map("a" -> (3L, 8L, 6L)))
+  }
+
   test("clamp engages and is counted; all-debit key floors at zero") {
     val rows = Seq(
       (1L, 1L, 10L), (1L, 2L, -25L), (1L, 3L, 7L), // clamp once, end at 7
