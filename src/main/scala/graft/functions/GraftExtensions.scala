@@ -19,11 +19,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[Dialect.registerAll]] path.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Dialect.nativeBuilders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // the custom per-key top-k: its planner strategy plus the optimizer
+    // rule that rewrites the plain window-top-k idiom onto it
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }
