@@ -60,7 +60,8 @@ object SparkEntry {
       graft.queries.Round37Queries.queries ++
       graft.queries.Round38Queries.queries ++
       graft.queries.Round39Queries.queries ++
-      graft.queries.Round40Queries.queries
+      graft.queries.Round40Queries.queries ++
+      graft.queries.Round41Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +106,6 @@ object SparkEntry {
       graft.queries.Round37Queries.oracles ++
       graft.queries.Round38Queries.oracles ++
       graft.queries.Round39Queries.oracles ++
-      graft.queries.Round40Queries.oracles
+      graft.queries.Round40Queries.oracles ++
+      graft.queries.Round41Queries.oracles
 }
