@@ -61,7 +61,8 @@ object SparkEntry {
       graft.queries.Round38Queries.queries ++
       graft.queries.Round39Queries.queries ++
       graft.queries.Round40Queries.queries ++
-      graft.queries.Round41Queries.queries
+      graft.queries.Round41Queries.queries ++
+      graft.queries.Round42Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -107,5 +108,6 @@ object SparkEntry {
       graft.queries.Round38Queries.oracles ++
       graft.queries.Round39Queries.oracles ++
       graft.queries.Round40Queries.oracles ++
-      graft.queries.Round41Queries.oracles
+      graft.queries.Round41Queries.oracles ++
+      graft.queries.Round42Queries.oracles
 }
