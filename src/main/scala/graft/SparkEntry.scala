@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.Round39Queries.queries ++
       graft.queries.Round40Queries.queries ++
       graft.queries.Round41Queries.queries ++
-      graft.queries.Round42Queries.queries
+      graft.queries.Round42Queries.queries ++
+      graft.queries.Round43Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -109,5 +110,6 @@ object SparkEntry {
       graft.queries.Round39Queries.oracles ++
       graft.queries.Round40Queries.oracles ++
       graft.queries.Round41Queries.oracles ++
-      graft.queries.Round42Queries.oracles
+      graft.queries.Round42Queries.oracles ++
+      graft.queries.Round43Queries.oracles
 }

@@ -169,6 +169,28 @@ object AudioCodec {
     }
     InternalRow(d.sampleRate, s.length.toLong, sumAbs, energy, zc, mn, mx)
   }
+
+  /** Static forwarder: decode → per-frame energies Σs² over consecutive
+    * windows of `frameLen` samples (last partial frame included) — the
+    * short-time energy series under every voice-activity / silence-trim
+    * gate. Exact longs: s² ≤ 2³⁰, so a frame holds ~2³³ samples. */
+  def frameEnergies(bytes: Array[Byte],
+      frameLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = decodeWav(bytes)
+    val s = d.samples
+    val n = (s.length + frameLen - 1) / frameLen
+    val out = new Array[Any](n)
+    var f = 0
+    while (f < n) {
+      var e = 0L
+      var i = f * frameLen
+      val end = math.min(i + frameLen, s.length)
+      while (i < end) { e += s(i).toLong * s(i); i += 1 }
+      out(f) = Long.box(e)
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Text → WAV payload ([[AudioCodec.encodeFromText]]); codegen'd. */
@@ -199,6 +221,22 @@ case class AudioStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** WAV payload → per-frame Σs² energies (array<long>) for short-time
+  * composition ([[AudioCodec.frameEnergies]]). */
+case class AudioFrameEnergies(child: Expression, frameLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audio_frame_energies"
+  override protected def nullSafeEval(input: Any): Any =
+    AudioCodec.frameEnergies(input.asInstanceOf[Array[Byte]], frameLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AudioCodec.frameEnergies($c, $frameLen)")
+  override protected def withNewChildInternal(c: Expression): AudioFrameEnergies =
+    copy(child = c)
+}
+
 object AudioExprs {
   def encodeWavFromText(text: Column, sampleRate: Int, n: Int): Column =
     ColumnBridge.column(
@@ -206,4 +244,8 @@ object AudioExprs {
 
   def audioStats(payload: Column): Column =
     ColumnBridge.column(AudioStats(ColumnBridge.expression(payload)))
+
+  def frameEnergies(payload: Column, frameLen: Int): Column =
+    ColumnBridge.column(
+      AudioFrameEnergies(ColumnBridge.expression(payload), frameLen))
 }

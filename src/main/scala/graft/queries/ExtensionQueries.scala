@@ -526,7 +526,7 @@ object ExtensionQueries {
     * d2 (exact algorithm) and d3 (MinHash-LSH candidates + exact
     * verification) must produce: on this corpus LSH recall is total, so
     * the approximate path is held to the exact answer. */
-  private val exactJaccardSql =
+  private[queries] val exactJaccardSql =
     """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
         |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
