@@ -64,7 +64,8 @@ object SparkEntry {
       graft.queries.Round41Queries.queries ++
       graft.queries.Round42Queries.queries ++
       graft.queries.Round43Queries.queries ++
-      graft.queries.Round44Queries.queries
+      graft.queries.Round44Queries.queries ++
+      graft.queries.Round45Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -113,5 +114,6 @@ object SparkEntry {
       graft.queries.Round41Queries.oracles ++
       graft.queries.Round42Queries.oracles ++
       graft.queries.Round43Queries.oracles ++
-      graft.queries.Round44Queries.oracles
+      graft.queries.Round44Queries.oracles ++
+      graft.queries.Round45Queries.oracles
 }
