@@ -65,7 +65,8 @@ object SparkEntry {
       graft.queries.Round42Queries.queries ++
       graft.queries.Round43Queries.queries ++
       graft.queries.Round44Queries.queries ++
-      graft.queries.Round45Queries.queries
+      graft.queries.Round45Queries.queries ++
+      graft.queries.Round46Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -115,5 +116,6 @@ object SparkEntry {
       graft.queries.Round42Queries.oracles ++
       graft.queries.Round43Queries.oracles ++
       graft.queries.Round44Queries.oracles ++
-      graft.queries.Round45Queries.oracles
+      graft.queries.Round45Queries.oracles ++
+      graft.queries.Round46Queries.oracles
 }
