@@ -81,7 +81,15 @@ object Round31Queries {
   //        and the same query runs in a fraction of that. At 100 TB a
   //        hot band gets a finer key (the d13b posting-cap lever), never
   //        a wider compare. ──────────────────────────────────────────────
-  def d24_entity_resolution(s: SparkSession, dir: String): DataFrame = {
+  def d24_entity_resolution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.connectedComponents(d24Edges(s, dir), "ia", "ib")
+      .groupBy(col("l").as("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("n")).as("min_record"), max(col("n")).as("max_record"))
+      .orderBy(col("entity"))
+
+  /** The match-edge builder (exposed for PlanAuditSpec's band-join pin). */
+  private[graft] def d24Edges(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "customer").select(
       col("c_custkey").as("id"),
       col("c_name").as("name"),
@@ -111,11 +119,7 @@ object Round31Queries {
       .select(least(col("a.id"), col("b.id")).as("ia"),
         greatest(col("a.id"), col("b.id")).as("ib"))
       .distinct()
-    graft.operators.Graph.connectedComponents(edges, "ia", "ib")
-      .groupBy(col("l").as("entity"))
-      .agg(count(lit(1)).as("n_records"),
-        min(col("n")).as("min_record"), max(col("n")).as("max_record"))
-      .orderBy(col("entity"))
+    edges
   }
 
   // ── q87: decayed trending items. Item = (event_type, props.k); weight

@@ -394,6 +394,19 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d24 entity resolution joins on the balance BAND key, not block alone") {
+    // round-8 lesson: (nation, segment) blocking alone ran |block|²
+    // levenshteins (5.4 s at sf0.1); the $1 tolerance must be part of
+    // the equi-join key (width-100 band, probe exploded to {b, b+1})
+    val p = queries.Round31Queries.d24Edges(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("band"),
+      s"the match join must carry the band equi-key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded blocking must stay an equi-join:\n$p")
+  }
+
   test("a9 refinement semi-joins the located bins BELOW the per-bin window") {
     // r7 verdict ask #3: the pre-fix plan ran row_number over every bin
     // (a full table shuffle+sort to extract three rows). The located-bin
