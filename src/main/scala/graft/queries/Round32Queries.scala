@@ -40,9 +40,10 @@ object Round32Queries {
   //        so all four quadrants are non-empty. V₀ is persisted and read
   //        back (the artifact is what production serves); the refresh
   //        computes three joins whose SMALLER side is always a delta —
-  //        at 100 TB the ΔA⋈B₀ join broadcasts ΔA and prunes B₀ by the
-  //        delta's key range, never re-scanning the full fact history —
-  //        then one additive merge, sketch-sized (days). The oracle
+  //        at 100 TB the ΔA⋈B₀ join broadcasts ΔA (and p15's
+  //        bloom-filter join pruning is the lever that keeps B₀'s scan
+  //        from re-reading the full fact history) — then one additive
+  //        merge, sketch-sized (days). The oracle
   //        recomputes the view from scratch: the hash gate IS the delta
   //        algebra's correctness proof. ───────────────────────────────────
   def p29_join_view_delta(s: SparkSession, dir: String): DataFrame = {

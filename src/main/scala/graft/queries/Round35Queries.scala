@@ -42,13 +42,16 @@ object Round35Queries {
   //        eigenvalue estimate (the last normalizer). ────────────────────
   def s15_power_iteration(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // per-vector OUTER PRODUCT by two chained generates off ONE scan —
+    // no self-join, no shuffle before the 4096-cell aggregate (the
+    // original shape joined q⋈q on vec_id: same cells, one avoidable
+    // corpus-sized shuffle)
     val q = emb.select(col("vec_id"),
-      posexplode(expr("transform(embedding, " +
-        "x -> cast(round(cast(x as double) * 1000) as bigint))"))
-        .as(Seq("i", "qi")))
-    val gram = q.as("a")
-      .join(q.withColumnRenamed("i", "j").withColumnRenamed("qi", "qj")
-        .as("b"), "vec_id")
+      expr("transform(embedding, " +
+        "x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
+    val gram = q
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("qi") * col("qj")).as("g"))
       .localCheckpoint(true)
