@@ -68,7 +68,8 @@ object SparkEntry {
       graft.queries.Round45Queries.queries ++
       graft.queries.Round46Queries.queries ++
       graft.queries.Round47Queries.queries ++
-      graft.queries.Round48Queries.queries
+      graft.queries.Round48Queries.queries ++
+      graft.queries.Round49Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,5 +122,6 @@ object SparkEntry {
       graft.queries.Round45Queries.oracles ++
       graft.queries.Round46Queries.oracles ++
       graft.queries.Round47Queries.oracles ++
-      graft.queries.Round48Queries.oracles
+      graft.queries.Round48Queries.oracles ++
+      graft.queries.Round49Queries.oracles
 }
