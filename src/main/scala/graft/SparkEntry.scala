@@ -70,7 +70,8 @@ object SparkEntry {
       graft.queries.Round47Queries.queries ++
       graft.queries.Round48Queries.queries ++
       graft.queries.Round49Queries.queries ++
-      graft.queries.Round50Queries.queries
+      graft.queries.Round50Queries.queries ++
+      graft.queries.Round51Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,5 +126,6 @@ object SparkEntry {
       graft.queries.Round47Queries.oracles ++
       graft.queries.Round48Queries.oracles ++
       graft.queries.Round49Queries.oracles ++
-      graft.queries.Round50Queries.oracles
+      graft.queries.Round50Queries.oracles ++
+      graft.queries.Round51Queries.oracles
 }
