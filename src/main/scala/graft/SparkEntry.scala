@@ -71,7 +71,8 @@ object SparkEntry {
       graft.queries.Round48Queries.queries ++
       graft.queries.Round49Queries.queries ++
       graft.queries.Round50Queries.queries ++
-      graft.queries.Round51Queries.queries
+      graft.queries.Round51Queries.queries ++
+      graft.queries.Round52Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,5 +128,6 @@ object SparkEntry {
       graft.queries.Round48Queries.oracles ++
       graft.queries.Round49Queries.oracles ++
       graft.queries.Round50Queries.oracles ++
-      graft.queries.Round51Queries.oracles
+      graft.queries.Round51Queries.oracles ++
+      graft.queries.Round52Queries.oracles
 }
