@@ -72,7 +72,8 @@ object SparkEntry {
       graft.queries.Round49Queries.queries ++
       graft.queries.Round50Queries.queries ++
       graft.queries.Round51Queries.queries ++
-      graft.queries.Round52Queries.queries
+      graft.queries.Round52Queries.queries ++
+      graft.queries.Round53Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,5 +130,6 @@ object SparkEntry {
       graft.queries.Round49Queries.oracles ++
       graft.queries.Round50Queries.oracles ++
       graft.queries.Round51Queries.oracles ++
-      graft.queries.Round52Queries.oracles
+      graft.queries.Round52Queries.oracles ++
+      graft.queries.Round53Queries.oracles
 }
