@@ -73,7 +73,10 @@ object SparkEntry {
       graft.queries.Round50Queries.queries ++
       graft.queries.Round51Queries.queries ++
       graft.queries.Round52Queries.queries ++
-      graft.queries.Round53Queries.queries
+      graft.queries.Round53Queries.queries ++
+      graft.queries.Round54Queries.queries ++
+      graft.queries.Round55Queries.queries ++
+      graft.queries.Round56Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,5 +134,8 @@ object SparkEntry {
       graft.queries.Round50Queries.oracles ++
       graft.queries.Round51Queries.oracles ++
       graft.queries.Round52Queries.oracles ++
-      graft.queries.Round53Queries.oracles
+      graft.queries.Round53Queries.oracles ++
+      graft.queries.Round54Queries.oracles ++
+      graft.queries.Round55Queries.oracles ++
+      graft.queries.Round56Queries.oracles
 }

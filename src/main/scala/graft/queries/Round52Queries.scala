@@ -36,6 +36,16 @@ object Round52Queries {
       .withColumn("day", to_date(Tables.tsMicros(raw)))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
+    cusumFromDaily(s, daily)
+  }
+
+  /** Grid → targets → clamped scan → alarm, from a (event_type, day, x)
+    * daily-count frame. Shared by q103 (batch) and e28 (whose daily
+    * counts arrive from the streaming aggregate — the monitor-serving
+    * split: the stream maintains the rollup, the changepoint statistic
+    * runs over the |types|×30 aggregate at read time). */
+  private[queries] def cusumFromDaily(s: SparkSession, daily: DataFrame)
+      : DataFrame = {
     val grid = daily.select(col("event_type")).distinct()
       .crossJoin(s.range(30).select(
         expr("date_add(DATE '2024-01-01', CAST(id AS INT))").as("day")))
