@@ -76,7 +76,9 @@ object SparkEntry {
       graft.queries.Round53Queries.queries ++
       graft.queries.Round54Queries.queries ++
       graft.queries.Round55Queries.queries ++
-      graft.queries.Round56Queries.queries
+      graft.queries.Round56Queries.queries ++
+      graft.queries.Round57Queries.queries ++
+      graft.queries.Round58Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,5 +139,7 @@ object SparkEntry {
       graft.queries.Round53Queries.oracles ++
       graft.queries.Round54Queries.oracles ++
       graft.queries.Round55Queries.oracles ++
-      graft.queries.Round56Queries.oracles
+      graft.queries.Round56Queries.oracles ++
+      graft.queries.Round57Queries.oracles ++
+      graft.queries.Round58Queries.oracles
 }
