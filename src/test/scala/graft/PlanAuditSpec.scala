@@ -421,4 +421,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the semi-join must be a descendant of the window (filter before " +
         s"shuffle), not above it:\n$p")
   }
+
+  // FormattedMode prints each node once in the tree and once as a detail
+  // block — count the numbered detail headers so one Exchange counts once
+  private def nExchanges(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).length
+
+  test("t34 chunking is expression-only — the final sort is its only shuffle") {
+    val p = plan("t34_chunk_windows")
+    assert(nExchanges(p) === 1 && p.contains("rangepartitioning"),
+      s"tokenize→sequence→posexplode→slice must not shuffle; only the " +
+        s"presentation orderBy may:\n$p")
+  }
+
+  test("m16 patchify keeps the decode inside codegen, no shuffle to patch") {
+    val p = plan("m16_image_patches")
+    assert(p.contains("decode_pixels"), "native decode expression expected")
+    assert(nExchanges(p) === 1, s"decode+explode+element_at is map-side:\n$p")
+  }
+
+  test("q105 link prediction never goes quadratic in nodes") {
+    val p = plan("q105_link_prediction")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates come from the wedge equi-join, never all pairs:\n$p")
+  }
+
+  test("t36 BM25 broadcasts probes and corpus stats, not the tf table") {
+    val p = plan("t36_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-term probe dictionary must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stats row must broadcast:\n$p")
+  }
 }
