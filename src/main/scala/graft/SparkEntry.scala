@@ -78,7 +78,9 @@ object SparkEntry {
       graft.queries.Round55Queries.queries ++
       graft.queries.Round56Queries.queries ++
       graft.queries.Round57Queries.queries ++
-      graft.queries.Round58Queries.queries
+      graft.queries.Round58Queries.queries ++
+      graft.queries.Round59Queries.queries ++
+      graft.queries.Round60Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -141,5 +143,7 @@ object SparkEntry {
       graft.queries.Round55Queries.oracles ++
       graft.queries.Round56Queries.oracles ++
       graft.queries.Round57Queries.oracles ++
-      graft.queries.Round58Queries.oracles
+      graft.queries.Round58Queries.oracles ++
+      graft.queries.Round59Queries.oracles ++
+      graft.queries.Round60Queries.oracles
 }

@@ -21,12 +21,15 @@ object HistQuantile {
 
   /** (bin, cnt): fixed-width histogram of the long column `valueCol`.
     * One hash aggregate; at most domain/binWidth cells. Binning is FLOOR
-    * division (`(v − pmod(v,w)) div w`), not Spark's truncate-toward-zero
-    * `div`: for negative values the two differ by one bin, and SQL
-    * engines' `//` floors — so a caller histogramming deltas gets the
-    * same bins from every engine instead of a silent oracle mismatch
-    * (r7 ADVICE item; for non-negative inputs the expressions are
-    * identical). */
+    * division (`(v − pmod(v,w)) div w`), not truncate-toward-zero: floor
+    * keeps bins contiguous across zero, so a caller histogramming deltas
+    * gets one well-defined bin per value (r7 ADVICE item). NOTE the
+    * cross-engine nuance (measured, round 8): DuckDB's INTEGER `//`
+    * TRUNCATES toward zero (-3 // 2 = -1) just like Spark's `div`; only
+    * its float `//` floors. An oracle over negative values must
+    * therefore replay this same pmod floor form explicitly — a bare
+    * `v // w` would diverge below zero in BOTH engines. For non-negative
+    * inputs all forms coincide (every current oracle). */
   def histogram(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     df.groupBy(

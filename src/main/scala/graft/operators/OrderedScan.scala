@@ -131,4 +131,70 @@ object OrderedScan {
       }
     }.toDF("k", "n_steps", "n_clamps", "max_balance", "final_balance")
   }
+
+  /** Integer Holt linear-trend smoothing with α = β = 1/2 per key
+    * (Holt 1957, public): level/trend state folded in order,
+    *   l₁ = x₁, b₁ = 0;  lₜ = trunc((xₜ + lₜ₋₁ + bₜ₋₁) / 2),
+    *   bₜ = trunc((bₜ₋₁ + (lₜ − lₜ₋₁)) / 2)
+    * — all divisions TRUNCATE toward zero (JVM `/`), which is exactly
+    * what DuckDB's integer `//` does (measured: -3 // 2 = -1, i.e.
+    * truncation — its float `//` floors, its integer one does not), so
+    * the recursive-CTE oracle replays negative trends bit for bit. The
+    * two-component state is non-associative twice over (each halving
+    * truncates), the third fold shape on this operator after the clamp
+    * and the EWMA; identical secondary-sort execution. Returns one row
+    * per key: (k, n_steps, final_level, final_trend, max_level), with
+    * the one-step forecast being final_level + final_trend. */
+  def holtTrend(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(keyCol.cast("long").as("k") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+        valueCol.cast("long").as("x"): _*)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k") +: orderCols.indices.map(i => col(s"o$i")): _*)
+      .select(col("k"), col("x"))
+      .as[(Long, Long)]
+    prepared.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var pending: Option[(Long, Long, Long, Long, Long)] = None
+        private var cur = Option.empty[Long]
+        private var l, b, mx, steps = 0L
+        private var first = true
+        private def emit() = (cur.get, steps, l, b, mx)
+        private def reset(k: Long): Unit = {
+          cur = Some(k); l = 0L; b = 0L; mx = Long.MinValue; steps = 0L
+          first = true
+        }
+        private def step(x: Long): Unit = {
+          if (first) { l = x; b = 0L; first = false }
+          else {
+            val l2 = (x + l + b) / 2
+            b = (b + (l2 - l)) / 2
+            l = l2
+          }
+          if (l > mx) mx = l
+          steps += 1
+        }
+        override def hasNext: Boolean = pending.nonEmpty || {
+          while (it.hasNext && pending.isEmpty) {
+            val (k, x) = it.next()
+            if (cur.contains(k)) step(x)
+            else {
+              if (cur.nonEmpty) pending = Some(emit())
+              reset(k); step(x)
+            }
+          }
+          if (pending.isEmpty && cur.nonEmpty) { pending = Some(emit()); cur = None }
+          pending.nonEmpty
+        }
+        override def next(): (Long, Long, Long, Long, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("k", "n_steps", "final_level", "final_trend", "max_level")
+  }
 }

@@ -22,11 +22,12 @@ import graft.Tables
   *    high-degree parts? Pearson correlation of endpoint degrees over
   *    edges, cross-multiplied onto the integer lattice (×4M to clear
   *    the /2 and /M fractions) so both engines compute the identical
-  *    BIGINT numerator/denominator; the final basis-point ratio uses
-  *    an explicit pmod floor-division (num4 may be negative —
-  *    disassortative graphs — where Spark's `div` truncates toward
-  *    zero but DuckDB's `//` floors; the pmod form floors in both).
-  *    One degree aggregate + one broadcast join back to edges.
+  *    BIGINT numerator/denominator; the final basis-point ratio is a
+  *    plain integer division — num4 may be negative (disassortative
+  *    graphs), and both engines truncate integer division toward zero
+  *    (Spark `div` and DuckDB's integer `//` alike; only DuckDB's
+  *    FLOAT `//` floors). One degree aggregate + one broadcast join
+  *    back to edges.
   *
   * Reference scope: extensions beyond the reference surface (its
   * transform dialect is open, /root/reference/tools.py:58-65).
@@ -75,9 +76,10 @@ object Round58Queries {
         "2 * n_edges * sum_j2k2 - sum_j_plus_k * sum_j_plus_k"))
       .select(col("n_edges"), col("sum_jk"), col("sum_j_plus_k"),
         col("sum_j2k2"), col("num4"), col("den4"),
-        // floor division valid for negative num4 (den4 > 0)
-        expr("(num4 * 10000 - pmod(num4 * 10000, den4)) div den4")
-          .as("r_bp"))
+        // both engines truncate toward zero on integers (Spark `div`,
+        // DuckDB integer `//` — measured -3 // 2 = -1), so a negative
+        // coefficient agrees without any floor emulation
+        expr("num4 * 10000 div den4").as("r_bp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
