@@ -80,7 +80,9 @@ object SparkEntry {
       graft.queries.Round57Queries.queries ++
       graft.queries.Round58Queries.queries ++
       graft.queries.Round59Queries.queries ++
-      graft.queries.Round60Queries.queries
+      graft.queries.Round60Queries.queries ++
+      graft.queries.Round61Queries.queries ++
+      graft.queries.Round62Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -145,5 +147,7 @@ object SparkEntry {
       graft.queries.Round57Queries.oracles ++
       graft.queries.Round58Queries.oracles ++
       graft.queries.Round59Queries.oracles ++
-      graft.queries.Round60Queries.oracles
+      graft.queries.Round60Queries.oracles ++
+      graft.queries.Round61Queries.oracles ++
+      graft.queries.Round62Queries.oracles
 }

@@ -191,6 +191,32 @@ object AudioCodec {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Static forwarder: decode → raw PCM samples widened to ints. */
+  def decodeSamplesArray(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = decodeWav(bytes).samples
+    val out = new Array[Any](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = Int.box(s(i).toInt); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** WAV payload → decoded PCM samples as array<int> (the audio mirror of
+  * [[ImageCodec.decodePixels]] — for window/patch extraction downstream
+  * of the real header parse). */
+case class AudioDecodeSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decode_audio_samples"
+  override protected def nullSafeEval(input: Any): Any =
+    AudioCodec.decodeSamplesArray(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AudioCodec.decodeSamplesArray($c)")
+  override protected def withNewChildInternal(c: Expression): AudioDecodeSamples =
+    copy(child = c)
 }
 
 /** Text → WAV payload ([[AudioCodec.encodeFromText]]); codegen'd. */
@@ -248,4 +274,7 @@ object AudioExprs {
   def frameEnergies(payload: Column, frameLen: Int): Column =
     ColumnBridge.column(
       AudioFrameEnergies(ColumnBridge.expression(payload), frameLen))
+
+  def decodeSamples(payload: Column): Column =
+    ColumnBridge.column(AudioDecodeSamples(ColumnBridge.expression(payload)))
 }

@@ -88,8 +88,9 @@ object Round31Queries {
         min(col("n")).as("min_record"), max(col("n")).as("max_record"))
       .orderBy(col("entity"))
 
-  /** The match-edge builder (exposed for PlanAuditSpec's band-join pin). */
-  private[graft] def d24Edges(s: SparkSession, dir: String): DataFrame = {
+  /** The record set d24 resolves: base customers plus planted near-dup
+    * variants (name levenshtein-1, balance +37¢) for every third key. */
+  private[graft] def d24Records(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "customer").select(
       col("c_custkey").as("id"),
       col("c_name").as("name"),
@@ -100,7 +101,12 @@ object Round31Queries {
       (col("id") + 1000000L).as("id"),
       expr("concat(substring(name, 1, length(name)-1), 'x')").as("name"),
       col("nat"), col("seg"), (col("balc") + 37L).as("balc"))
-    val rec = base.unionByName(variants)
+    base.unionByName(variants)
+  }
+
+  /** The match-edge builder (exposed for PlanAuditSpec's band-join pin). */
+  private[graft] def d24Edges(s: SparkSession, dir: String): DataFrame = {
+    val rec = d24Records(s, dir)
     // probe side lands in its own band and the next: a pair with
     // |balc_a − balc_b| ≤ 100 differs by ≤ 1 band, and orienting the
     // probe upward (b, b+1) meets each unordered pair exactly once —
@@ -174,6 +180,33 @@ object Round31Queries {
        |          FROM und JOIN $prev p ON p.n = und.v GROUP BY 1, 2))
        |  WHERE rn = 1)""".stripMargin
 
+  /** Shared CTE block for the d24 family: records (base + planted
+    * variants) → match edges → undirected closure → smallest-reachable
+    * label per matched node. d32's survivorship oracle reuses it. */
+  private[queries] val d24CtesSql: String =
+    """rec AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+      |    c_mktsegment AS seg, CAST(ROUND(c_acctbal*100) AS BIGINT) AS balc
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    concat(substr(c_name, 1, length(c_name)-1), 'x'),
+      |    c_nationkey, c_mktsegment,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) + 37
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |ed AS (
+      |  SELECT a.id AS ia, b.id AS ib FROM rec a JOIN rec b
+      |  ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |    AND abs(a.balc - b.balc) <= 100),
+      |und AS (SELECT ia AS u, ib AS v FROM ed
+      |        UNION SELECT ib, ia FROM ed),
+      |reach(n, m) AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.n, und.v FROM reach r JOIN und ON und.u = r.m),
+      |lab AS (SELECT n, LEAST(n, MIN(m)) AS l FROM reach GROUP BY n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q85_kcore_layers" -> {
       val rounds = 10
@@ -206,28 +239,7 @@ object Round31Queries {
          |  MIN(n) AS min_member, MAX(n) AS max_member
          |FROM l3 GROUP BY l ORDER BY community""".stripMargin,
     "d24_entity_resolution" ->
-      """WITH RECURSIVE rec AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
-        |    c_mktsegment AS seg, CAST(ROUND(c_acctbal*100) AS BIGINT) AS balc
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000,
-        |    concat(substr(c_name, 1, length(c_name)-1), 'x'),
-        |    c_nationkey, c_mktsegment,
-        |    CAST(ROUND(c_acctbal*100) AS BIGINT) + 37
-        |  FROM customer WHERE c_custkey % 3 = 0),
-        |ed AS (
-        |  SELECT a.id AS ia, b.id AS ib FROM rec a JOIN rec b
-        |  ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
-        |  WHERE levenshtein(a.name, b.name) <= 1
-        |    AND abs(a.balc - b.balc) <= 100),
-        |und AS (SELECT ia AS u, ib AS v FROM ed
-        |        UNION SELECT ib, ia FROM ed),
-        |reach(n, m) AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT r.n, und.v FROM reach r JOIN und ON und.u = r.m),
-        |lab AS (SELECT n, LEAST(n, MIN(m)) AS l FROM reach GROUP BY n)
+      s"""WITH RECURSIVE $d24CtesSql
         |SELECT l AS entity, COUNT(*) AS n_records,
         |  MIN(n) AS min_record, MAX(n) AS max_record
         |FROM lab GROUP BY l ORDER BY entity""".stripMargin,
