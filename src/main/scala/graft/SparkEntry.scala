@@ -82,7 +82,8 @@ object SparkEntry {
       graft.queries.Round59Queries.queries ++
       graft.queries.Round60Queries.queries ++
       graft.queries.Round61Queries.queries ++
-      graft.queries.Round62Queries.queries
+      graft.queries.Round62Queries.queries ++
+      graft.queries.Round63Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -149,5 +150,6 @@ object SparkEntry {
       graft.queries.Round59Queries.oracles ++
       graft.queries.Round60Queries.oracles ++
       graft.queries.Round61Queries.oracles ++
-      graft.queries.Round62Queries.oracles
+      graft.queries.Round62Queries.oracles ++
+      graft.queries.Round63Queries.oracles
 }

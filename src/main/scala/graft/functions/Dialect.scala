@@ -68,6 +68,19 @@ object Dialect {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: java.lang.Boolean, _) => v.booleanValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   /** Native-expression builders, shared by the per-session registration
     * ([[registerAll]]) and the config-driven [[GraftExtensions]] path. */
   private[functions] val nativeBuilders
@@ -83,7 +96,52 @@ object Dialect {
     "cosine_sim" -> ((es: Seq[Expression]) => CosineSimF(es.head, es(1))),
     "rolling_min_hash" ->
       ((es: Seq[Expression]) =>
-        RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))))
+        RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))),
+    "minhash_sig_portable" ->
+      ((es: Seq[Expression]) =>
+        MinHashSigPortable(es.head, litInt(es(1), "minhash_sig_portable k"))),
+    "cdc_cuts" ->
+      ((es: Seq[Expression]) =>
+        CdcCuts(es.head, litInt(es(1), "cdc_cuts w"),
+          litInt(es(2), "cdc_cuts maskBits"))),
+    // media codec surface — the full multimodal pipeline callable from
+    // plan SQL: encode fixtures, decode stats/rasters, hash bands
+    "encode_image_from_text" ->
+      ((es: Seq[Expression]) =>
+        EncodeImageFromText(es.head,
+          litStr(es(1), "encode_image_from_text format"),
+          litInt(es(2), "encode_image_from_text width"),
+          litInt(es(3), "encode_image_from_text height"))),
+    "image_stats" -> ((es: Seq[Expression]) => ImageStats(es.head)),
+    "try_image_stats" -> ((es: Seq[Expression]) => TryImageStats(es.head)),
+    "image_downsample_stats" ->
+      ((es: Seq[Expression]) => ImageDownsampleStats(es.head)),
+    "decode_pixels" -> ((es: Seq[Expression]) => DecodePixels(es.head)),
+    "ahash_bands" -> ((es: Seq[Expression]) => AHashBands(es.head)),
+    "encode_wav_from_text" ->
+      ((es: Seq[Expression]) =>
+        EncodeWavFromText(es.head,
+          litInt(es(1), "encode_wav_from_text sampleRate"),
+          litInt(es(2), "encode_wav_from_text n"))),
+    "audio_stats" -> ((es: Seq[Expression]) => AudioStats(es.head)),
+    "audio_frame_energies" ->
+      ((es: Seq[Expression]) =>
+        AudioFrameEnergies(es.head, litInt(es(1),
+          "audio_frame_energies frameLen"))),
+    "decode_audio_samples" ->
+      ((es: Seq[Expression]) => AudioDecodeSamples(es.head)),
+    "encode_y4m_from_text" ->
+      ((es: Seq[Expression]) =>
+        EncodeY4mFromText(es.head,
+          litInt(es(1), "encode_y4m_from_text width"),
+          litInt(es(2), "encode_y4m_from_text height"),
+          litInt(es(3), "encode_y4m_from_text nFrames"),
+          litBool(es(4), "encode_y4m_from_text omitC"))),
+    "video_stats" -> ((es: Seq[Expression]) => VideoStats(es.head)),
+    "y4m_frame_ysums" ->
+      ((es: Seq[Expression]) => Y4mFrameYSums(es.head)),
+    "y4m_frame_ydeltas" ->
+      ((es: Seq[Expression]) => Y4mFrameYDeltas(es.head)))
 
   /** Register SQL-callable dialect + native functions on the session so
     * plan-authored SQL (`transform.sql` steps) can use them directly:

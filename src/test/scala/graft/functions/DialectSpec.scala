@@ -60,4 +60,44 @@ class DialectSpec extends SparkSpec {
       spark.newSession().sql("SELECT rolling_min_hash('x', 4)").collect()
     }
   }
+
+  test("SQL media-codec surface matches the column API") {
+    Dialect.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  image_stats(encode_image_from_text('graft', 'pgm', 8, 8)).sum_c0
+        |    AS img_sum,
+        |  size(decode_pixels(encode_image_from_text('graft', 'ppm', 4, 4)))
+        |    AS n_px,
+        |  audio_stats(encode_wav_from_text('graft', 16000, 32)).n_samples
+        |    AS n_samp,
+        |  size(decode_audio_samples(encode_wav_from_text('graft', 16000, 32)))
+        |    AS n_pcm,
+        |  size(audio_frame_energies(encode_wav_from_text('graft', 16000, 32),
+        |    8)) AS n_frames,
+        |  video_stats(encode_y4m_from_text('graft', 8, 8, 4, false)).n_frames
+        |    AS n_vframes,
+        |  size(y4m_frame_ysums(encode_y4m_from_text('graft', 8, 8, 4, true)))
+        |    AS n_ysums,
+        |  size(y4m_frame_ydeltas(encode_y4m_from_text('graft', 8, 8, 4, true)))
+        |    AS n_deltas,
+        |  size(minhash_sig_portable(array('a b c'), 16)) AS n_sig,
+        |  size(ahash_bands(encode_image_from_text('graft', 'pgm', 8, 8)))
+        |    AS n_bands
+        |""".stripMargin).collect()(0)
+    // closed form: Σ ord('graft'[i mod 5]) % 256 over 64 samples —
+    // "graft" codepoints 103,114,97,102,116 = 532 per full cycle
+    val cps = "graft".map(_.toInt % 256)
+    val imgSum = (0 until 64).map(i => cps(i % 5).toLong).sum
+    assert(r.getAs[Long]("img_sum") === imgSum)
+    assert(r.getAs[Int]("n_px") === 48) // 4x4x3 channels
+    assert(r.getAs[Long]("n_samp") === 32L)
+    assert(r.getAs[Int]("n_pcm") === 32)
+    assert(r.getAs[Int]("n_frames") === 4)
+    assert(r.getAs[Int]("n_vframes") === 4)
+    assert(r.getAs[Int]("n_ysums") === 4)
+    assert(r.getAs[Int]("n_deltas") === 3)
+    assert(r.getAs[Int]("n_sig") === 16)
+    assert(r.getAs[Int]("n_bands") > 0)
+  }
 }
