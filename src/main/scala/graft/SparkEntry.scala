@@ -83,7 +83,10 @@ object SparkEntry {
       graft.queries.Round60Queries.queries ++
       graft.queries.Round61Queries.queries ++
       graft.queries.Round62Queries.queries ++
-      graft.queries.Round63Queries.queries
+      graft.queries.Round63Queries.queries ++
+      graft.queries.Round64Queries.queries ++
+      graft.queries.Round65Queries.queries ++
+      graft.queries.Round66Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -151,5 +154,8 @@ object SparkEntry {
       graft.queries.Round60Queries.oracles ++
       graft.queries.Round61Queries.oracles ++
       graft.queries.Round62Queries.oracles ++
-      graft.queries.Round63Queries.oracles
+      graft.queries.Round63Queries.oracles ++
+      graft.queries.Round64Queries.oracles ++
+      graft.queries.Round65Queries.oracles ++
+      graft.queries.Round66Queries.oracles
 }
