@@ -86,7 +86,8 @@ object SparkEntry {
       graft.queries.Round63Queries.queries ++
       graft.queries.Round64Queries.queries ++
       graft.queries.Round65Queries.queries ++
-      graft.queries.Round66Queries.queries
+      graft.queries.Round66Queries.queries ++
+      graft.queries.Round67Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -157,5 +158,6 @@ object SparkEntry {
       graft.queries.Round63Queries.oracles ++
       graft.queries.Round64Queries.oracles ++
       graft.queries.Round65Queries.oracles ++
-      graft.queries.Round66Queries.oracles
+      graft.queries.Round66Queries.oracles ++
+      graft.queries.Round67Queries.oracles
 }

@@ -33,9 +33,9 @@ object Round66Queries {
     Tables.load(s, dir, name)
 
   def d34_cluster_medoid(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, Graph}
-    val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+    import graft.operators.Graph
+    val pairs = s.read
+      .parquet(Round63Queries.exactPairsDir(s, dir))
       .select(col("id_a"), col("id_b"),
         expr("cast(round(jaccard * 10000) as bigint)").as("w_bp"))
       .localCheckpoint(true)

@@ -287,6 +287,7 @@ object Round8Queries {
     corpusBandsDir(s, dir)
     Round4Queries.p18Tables(s, dir) // bucketed layout is an artifact too
     Round26Queries.cmsArtifactDir(s, dir) // a12's dyadic CM rollup
+    Round63Queries.exactPairsDir(s, dir) // d33/d34/d35's pair table
     (System.nanoTime() - t0) / 1e9
   }
 
