@@ -87,7 +87,9 @@ object SparkEntry {
       graft.queries.Round64Queries.queries ++
       graft.queries.Round65Queries.queries ++
       graft.queries.Round66Queries.queries ++
-      graft.queries.Round67Queries.queries
+      graft.queries.Round67Queries.queries ++
+      graft.queries.Round68Queries.queries ++
+      graft.queries.Round69Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -159,5 +161,7 @@ object SparkEntry {
       graft.queries.Round64Queries.oracles ++
       graft.queries.Round65Queries.oracles ++
       graft.queries.Round66Queries.oracles ++
-      graft.queries.Round67Queries.oracles
+      graft.queries.Round67Queries.oracles ++
+      graft.queries.Round68Queries.oracles ++
+      graft.queries.Round69Queries.oracles
 }
