@@ -89,7 +89,8 @@ object SparkEntry {
       graft.queries.Round66Queries.queries ++
       graft.queries.Round67Queries.queries ++
       graft.queries.Round68Queries.queries ++
-      graft.queries.Round69Queries.queries
+      graft.queries.Round69Queries.queries ++
+      graft.queries.Round70Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -163,5 +164,6 @@ object SparkEntry {
       graft.queries.Round66Queries.oracles ++
       graft.queries.Round67Queries.oracles ++
       graft.queries.Round68Queries.oracles ++
-      graft.queries.Round69Queries.oracles
+      graft.queries.Round69Queries.oracles ++
+      graft.queries.Round70Queries.oracles
 }
