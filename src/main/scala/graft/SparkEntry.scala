@@ -91,7 +91,8 @@ object SparkEntry {
       graft.queries.Round68Queries.queries ++
       graft.queries.Round69Queries.queries ++
       graft.queries.Round70Queries.queries ++
-      graft.queries.Round71Queries.queries
+      graft.queries.Round71Queries.queries ++
+      graft.queries.Round72Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -167,5 +168,6 @@ object SparkEntry {
       graft.queries.Round68Queries.oracles ++
       graft.queries.Round69Queries.oracles ++
       graft.queries.Round70Queries.oracles ++
-      graft.queries.Round71Queries.oracles
+      graft.queries.Round71Queries.oracles ++
+      graft.queries.Round72Queries.oracles
 }
