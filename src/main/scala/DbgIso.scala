@@ -12,7 +12,10 @@ object DbgIso {
     graft.Tables.all.foreach(n => graft.Tables.load(spark, sfDir, n).count())
     val targets = Seq("t17_bpe_train", "t16_mixture_sample", "t15_readability",
       "t21_oov_rate", "m1_multimodal_features", "m3_batched_scores",
-      "m5_image_stats_ppm", "m6_image_stats_bmp", "a12_cms_range_serving")
+      "m5_image_stats_ppm", "m6_image_stats_bmp", "a12_cms_range_serving",
+      // round-9 pins: the s2 4.3x drift (r7 0.388 -> r8 1.681 with
+      // unchanged code) plus its s1/s3 siblings as controls
+      "s2_ann_lsh_topk", "s1_cosine_topk", "s3_ann_ivf_topk")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val runs = (1 to 3).map { _ =>

@@ -92,7 +92,8 @@ object SparkEntry {
       graft.queries.Round69Queries.queries ++
       graft.queries.Round70Queries.queries ++
       graft.queries.Round71Queries.queries ++
-      graft.queries.Round72Queries.queries
+      graft.queries.Round72Queries.queries ++
+      graft.queries.Round73Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -169,5 +170,6 @@ object SparkEntry {
       graft.queries.Round69Queries.oracles ++
       graft.queries.Round70Queries.oracles ++
       graft.queries.Round71Queries.oracles ++
-      graft.queries.Round72Queries.oracles
+      graft.queries.Round72Queries.oracles ++
+      graft.queries.Round73Queries.oracles
 }

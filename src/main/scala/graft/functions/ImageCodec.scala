@@ -121,8 +121,9 @@ object ImageCodec {
     if (m0 == 'P' && m1 == '6') decodeNetpbm(bytes, channels = 3)
     else if (m0 == 'P' && m1 == '5') decodeNetpbm(bytes, channels = 1)
     else if (m0 == 'B' && m1 == 'M') decodeBmp(bytes)
+    else if (PngCodec.sniff(bytes)) PngCodec.decodePng(bytes)
     else throw new IllegalArgumentException(
-      s"image: unsupported magic '$m0$m1' (want P6/P5/BM)")
+      s"image: unsupported magic '$m0$m1' (want P6/P5/BM/PNG)")
   }
 
   private def isNetpbmWs(c: Byte): Boolean =
@@ -228,6 +229,10 @@ object ImageCodec {
     case "ppm" => encodePpm(width, height, textRaster(text.toString, width * height * 3))
     case "pgm" => encodePgm(width, height, textRaster(text.toString, width * height))
     case "bmp" => encodeBmp(width, height, textRaster(text.toString, width * height * 3))
+    case "png" =>
+      PngCodec.encodePng(width, height, 3, textRaster(text.toString, width * height * 3))
+    case "png_gray" =>
+      PngCodec.encodePng(width, height, 1, textRaster(text.toString, width * height))
     case other => throw new IllegalArgumentException(s"image: unknown format '$other'")
   }
 

@@ -42,10 +42,17 @@ import scala.collection.mutable
   * CHILD's codegen'd stage through one virtual iterator boundary (the
   * same boundary a codegen'd stage pays at any exchange), the key
   * projection is a generated `UnsafeProjection`, and the per-row cost is
-  * heap-bounded at O(log k). Measured at sf0.1 (micro-bench, SCALE.md):
-  * 600k-row lineitem, 20k keys, k=2 — custom 0.447 s vs window+filter
-  * 0.725 s warm; the gap is the avoided per-partition full sort, which
-  * only widens with rows/key. */
+  * heap-bounded at O(log k). MEASURED (r9, tools/TopKMicro.scala at
+  * sf0.1, 600k-row lineitem, 20k keys, k=2, min of 3): scan-only
+  * 0.135 s, custom operator 0.497 s, window+filter 0.951 s, custom with
+  * the child's whole-stage codegen disabled 0.560 s. Reading: the
+  * operator's own cost above the scan (0.36 s) is the absolute ceiling
+  * on any operator-codegen win, and most of it is heap maintenance that
+  * generated code wouldn't elide (the key projection is already a
+  * generated UnsafeProjection); the +13% when the CHILD's codegen is
+  * turned off shows the boundary does preserve the child stage's
+  * codegen value. Decision: stay interpreted, 1.9× ahead of the window
+  * plan it replaces. */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Expression,
     tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")

@@ -61,4 +61,24 @@ class SinksSpec extends SparkSpec {
       """ WHEN MATCHED THEN UPDATE SET t."v" = s."v"""" +
       """ WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")""")
   }
+
+  test("upsert/merge SQL: embedded double-quotes are doubled, golden text") {
+    // the Derby integration test only ever EXECUTES the MERGE grammar, so
+    // the Postgres ON CONFLICT string (and its identifier escaping — the
+    // injection surface SURVEY §7.4 calls out) is pinned here verbatim,
+    // for a table name carrying the quote character itself
+    val sql = JdbcSink.upsertSql("""bad"name""", """bad"name_stg""",
+      Seq("id", """evil"col"""), Seq("id"))
+    assert(sql ==
+      """INSERT INTO "bad""name" ("id", "evil""col") """ +
+      """SELECT "id", "evil""col" FROM "bad""name_stg" """ +
+      """ON CONFLICT ("id") DO UPDATE SET "evil""col" = EXCLUDED."evil""col"""")
+    val merge = JdbcSink.mergeSql("""bad"name""", """bad"name_stg""",
+      Seq("id", """evil"col"""), Seq("id"))
+    assert(merge ==
+      """MERGE INTO "bad""name" t USING "bad""name_stg" s ON t."id" = s."id"""" +
+      """ WHEN MATCHED THEN UPDATE SET t."evil""col" = s."evil""col"""" +
+      """ WHEN NOT MATCHED THEN INSERT ("id", "evil""col") """ +
+      """VALUES (s."id", s."evil""col")""")
+  }
 }
