@@ -93,7 +93,10 @@ object SparkEntry {
       graft.queries.Round70Queries.queries ++
       graft.queries.Round71Queries.queries ++
       graft.queries.Round72Queries.queries ++
-      graft.queries.Round73Queries.queries
+      graft.queries.Round73Queries.queries ++
+      graft.queries.Round74Queries.queries ++
+      graft.queries.Round75Queries.queries ++
+      graft.queries.Round76Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -171,5 +174,8 @@ object SparkEntry {
       graft.queries.Round70Queries.oracles ++
       graft.queries.Round71Queries.oracles ++
       graft.queries.Round72Queries.oracles ++
-      graft.queries.Round73Queries.oracles
+      graft.queries.Round73Queries.oracles ++
+      graft.queries.Round74Queries.oracles ++
+      graft.queries.Round75Queries.oracles ++
+      graft.queries.Round76Queries.oracles
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ImageExprs
+
+/** Seventy-sixth batch — containment dedup, LATERAL, and the compressed
+  * decode composed with the resize kernel:
+  *
+  *  - d38: shingle CONTAINMENT — |A∩B|/|A| in each direction, the
+  *    asymmetric near-dup measure Jaccard misses: an excerpt quoted
+  *    inside a larger document has tiny Jaccard but containment ≈ 1 on
+  *    the smaller side. Exact pairs from the shared-shingle join; the
+  *    Bayardo prefix-filter bound applies to the SMALLER set's size
+  *    under containment (overlap ≥ 0.8·|A| forces a shared element in
+  *    A's first ⌊0.2·|A|⌋+1 shingles), so the 100 TB path prunes
+  *    candidates exactly like d2 — per-direction thresholds, all
+  *    integer bp.
+  *  - q116: LATERAL correlated subquery — per-region top-2 customers by
+  *    account balance through `region, LATERAL (SELECT … WHERE
+  *    n_regionkey = r.r_regionkey ORDER BY … LIMIT 2)`. The dialect
+  *    construct itself is the point (Spark ≥ 3.2 plans it as a
+  *    DomainJoin → rewritten correlated join); DuckDB runs the
+  *    IDENTICAL text. Balances in exact cents.
+  *  - m23: PNG-gray → decode → 2× average-pool → stats, composing the
+  *    compressed codec (CRC, DEFLATE, unfiltering) with the pooling
+  *    kernel in ONE codegen'd expression chain
+  *    (`ImageDownsampleStats(EncodeImageFromText(png_gray))`) — m7's
+  *    shape with the stub-free compressed container underneath. The
+  *    oracle replays the pooled floor-means from the codepoint closed
+  *    form; gray means sum_all IS the only channel mass.
+  *
+  * Reference scope: beyond-reference LLM-pipeline + analytics surface
+  * (the reference's transform dialect is open, /root/reference/tools.py:58-65).
+  */
+object Round76Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ── d38: directional containment pairs ────────────────────────────────
+
+  def d38_containment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 3))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter_sh"), col("na"), col("nb"),
+        expr("(inter_sh * 10000) div na").as("cont_ab_bp"),
+        expr("(inter_sh * 10000) div nb").as("cont_ba_bp"),
+        (col("inter_sh") === col("na") || col("inter_sh") === col("nb"))
+          .as("is_full"))
+      .filter(greatest(col("cont_ab_bp"), col("cont_ba_bp")) >= 8000)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ── q116: LATERAL top-n per group ─────────────────────────────────────
+
+  private val lateralSql =
+    """SELECT r.r_name AS region, s.custkey, s.acctbal_cents
+      |FROM region r, LATERAL (
+      |  SELECT c.c_custkey AS custkey,
+      |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS acctbal_cents
+      |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  ORDER BY acctbal_cents DESC, custkey LIMIT 2) s
+      |ORDER BY region, acctbal_cents DESC, custkey""".stripMargin
+
+  def q116_lateral_topn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("region")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(lateralSql)
+  }
+
+  // ── m23: PNG-gray decode + 2× pool, one expression chain ──────────────
+
+  def m23_png_pooled_gray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        ImageExprs.imageDownsampleStats(
+          ImageExprs.encodeImageFromText(col("text"), "png_gray", 8, 8))
+          .as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("width"), col("st.height").as("height"),
+        col("st.n_vals").as("n_vals"), col("st.sum_all").as("sum_all"),
+        col("st.row0_sum").as("row0_sum"),
+        col("st.px_min").as("px_min"), col("st.px_max").as("px_max"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d38_containment"     -> (d38_containment _),
+    "q116_lateral_topn"   -> (q116_lateral_topn _),
+    "m23_png_pooled_gray" -> (m23_png_pooled_gray _))
+
+  /** Gray source sample i (0..63): the codepoint fold. */
+  private def v(i: String): String =
+    s"(ord(substr(text, CAST((($i) % length(text)) + 1 AS INT), 1)) % 256)"
+
+  /** Pooled gray sample j (0..15): floor-mean of the 2×2 block at
+    * (j mod 4, j div 4) of the 8×8 source. */
+  private def pooled(j: String): String = {
+    def p(y: String, x: String) = v(s"8*($y) + ($x)")
+    val (bx, by) = (s"($j)%4", s"($j)//4")
+    s"""(${p(s"2*($by)", s"2*($bx)")} +
+       | ${p(s"2*($by)", s"2*($bx)+1")} +
+       | ${p(s"2*($by)+1", s"2*($bx)")} +
+       | ${p(s"2*($by)+1", s"2*($bx)+1")}) // 4""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d38_containment" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle
+        |  FROM (
+        |    SELECT doc_id, w,
+        |      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |      lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |    FROM tok) WHERE w2 IS NOT NULL AND w3 IS NOT NULL),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter_sh
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT id_a, id_b, inter_sh, sa.n AS na, sb.n AS nb,
+        |    (inter_sh * 10000) // sa.n AS cont_ab_bp,
+        |    (inter_sh * 10000) // sb.n AS cont_ba_bp
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, inter_sh, na, nb, cont_ab_bp, cont_ba_bp,
+        |  (inter_sh = na OR inter_sh = nb) AS is_full
+        |FROM sc WHERE GREATEST(cont_ab_bp, cont_ba_bp) >= 8000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q116_lateral_topn" -> lateralSql,
+    "m23_png_pooled_gray" ->
+      s"""WITH pl AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), j -> ${pooled("j")}) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(16 AS BIGINT) AS n_vals,
+        |  CAST(list_sum(p) AS BIGINT) AS sum_all,
+        |  CAST(list_sum(list_transform(range(1, 5),
+        |    t -> p[CAST(t AS INT)])) AS BIGINT) AS row0_sum,
+        |  CAST(list_min(p) AS INT) AS px_min,
+        |  CAST(list_max(p) AS INT) AS px_max
+        |FROM pl ORDER BY doc_id""".stripMargin)
+}
