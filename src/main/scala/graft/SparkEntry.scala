@@ -96,7 +96,10 @@ object SparkEntry {
       graft.queries.Round73Queries.queries ++
       graft.queries.Round74Queries.queries ++
       graft.queries.Round75Queries.queries ++
-      graft.queries.Round76Queries.queries
+      graft.queries.Round76Queries.queries ++
+      graft.queries.Round77Queries.queries ++
+      graft.queries.Round78Queries.queries ++
+      graft.queries.Round79Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -177,5 +180,8 @@ object SparkEntry {
       graft.queries.Round73Queries.oracles ++
       graft.queries.Round74Queries.oracles ++
       graft.queries.Round75Queries.oracles ++
-      graft.queries.Round76Queries.oracles
+      graft.queries.Round76Queries.oracles ++
+      graft.queries.Round77Queries.oracles ++
+      graft.queries.Round78Queries.oracles ++
+      graft.queries.Round79Queries.oracles
 }

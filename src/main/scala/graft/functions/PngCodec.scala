@@ -166,6 +166,73 @@ object PngCodec {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** [[encodePng]] with tEXt metadata chunks (keyword, NUL, value —
+    * Latin-1 per spec) inserted between IHDR and IDAT. Ancillary chunks
+    * carry sidecar metadata INSIDE the container — the multimodal
+    * pipeline's "typed metadata travels with the payload" contract. */
+  def encodePngWithText(width: Int, height: Int, channels: Int,
+      samples: Array[Byte], meta: Seq[(String, String)]): Array[Byte] = {
+    val plain = encodePng(width, height, channels, samples)
+    val ihdrEnd = 8 + 12 + 13 // signature + IHDR framing + IHDR payload
+    val textChunks = meta.flatMap { case (k, v) =>
+      require(k.nonEmpty && k.length <= 79, s"png: bad tEXt keyword '$k'")
+      chunk("tEXt",
+        k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          Array[Byte](0) ++
+          v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }.toArray
+    plain.take(ihdrEnd) ++ textChunks ++ plain.drop(ihdrEnd)
+  }
+
+  /** Extract the value of the first tEXt chunk whose keyword is `key`
+    * (null if absent). Verifies the signature and each visited chunk's
+    * CRC — corrupt metadata fails as loudly as corrupt pixels. */
+  def textChunkValue(b: Array[Byte], key: String): String = {
+    require(sniff(b), "png: bad signature")
+    var pos = 8
+    while (b.length - pos >= 12) {
+      val len = beI32(b, pos)
+      require(len <= Int.MaxValue - 12 && b.length - pos - 12 >= len,
+        s"png: chunk length $len overruns payload")
+      val ctype = new String(b, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val dataOff = pos + 8
+      val crc = new CRC32()
+      crc.update(b, pos + 4, 4 + len.toInt)
+      require(crc.getValue == beI32(b, dataOff + len.toInt),
+        s"png: CRC mismatch in $ctype chunk")
+      if (ctype == "tEXt") {
+        var nul = dataOff
+        val end = dataOff + len.toInt
+        while (nul < end && b(nul) != 0) nul += 1
+        val k = new String(b, dataOff, nul - dataOff,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (k == key && nul < end)
+          return new String(b, nul + 1, end - nul - 1,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      if (ctype == "IEND") return null
+      pos = dataOff + len.toInt + 4
+    }
+    null
+  }
+
+  /** Static forwarders for the codegen'd expressions below. */
+  def encodeGrayWithMeta(text: org.apache.spark.unsafe.types.UTF8String,
+      lang: org.apache.spark.unsafe.types.UTF8String,
+      source: org.apache.spark.unsafe.types.UTF8String,
+      width: Int, height: Int): Array[Byte] =
+    encodePngWithText(width, height, 1,
+      ImageCodec.textRaster(text.toString, width * height),
+      Seq("lang" -> lang.toString, "source" -> source.toString))
+
+  def textValueUtf8(bytes: Array[Byte],
+      key: String): org.apache.spark.unsafe.types.UTF8String = {
+    val v = textChunkValue(bytes, key)
+    if (v == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(v)
+  }
+
   // ── decoder ─────────────────────────────────────────────────────────────
 
   private def beI32(b: Array[Byte], off: Int): Long =
@@ -275,4 +342,64 @@ object PngCodec {
     }
     DecodedImage(width, height, channels, px)
   }
+}
+
+/** Text + (lang, source) metadata → PNG-gray payload with tEXt chunks
+  * ([[PngCodec.encodeGrayWithMeta]]); codegen'd via static forwarder. */
+case class EncodePngWithMeta(first: org.apache.spark.sql.catalyst.expressions.Expression,
+    second: org.apache.spark.sql.catalyst.expressions.Expression,
+    third: org.apache.spark.sql.catalyst.expressions.Expression,
+    imgWidth: Int, imgHeight: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType}
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "encode_png_with_meta"
+  override protected def nullSafeEval(t: Any, l: Any, s: Any): Any =
+    PngCodec.encodeGrayWithMeta(t.asInstanceOf[UTF8String],
+      l.asInstanceOf[UTF8String], s.asInstanceOf[UTF8String],
+      imgWidth, imgHeight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l, s) =>
+      s"graft.functions.PngCodec.encodeGrayWithMeta($t, $l, $s, $imgWidth, $imgHeight)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): EncodePngWithMeta = copy(first = f, second = s, third = t)
+}
+
+/** PNG payload → value of the tEXt chunk with keyword `key` (null when
+  * absent); [[PngCodec.textValueUtf8]], CRC-checked. */
+case class PngTextValue(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    key: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_text_value"
+  override protected def nullSafeEval(input: Any): Any =
+    PngCodec.textValueUtf8(input.asInstanceOf[Array[Byte]], key)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngCodec.textValueUtf8($c, "$key");
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: org.apache.spark.sql.catalyst.expressions.Expression): PngTextValue =
+    copy(child = c)
+}
+
+/** Column-API face for the PNG metadata expressions. */
+object PngExprs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+  def encodePngGrayWithMeta(text: Column, lang: Column, source: Column,
+      width: Int, height: Int): Column =
+    ColumnBridge.column(EncodePngWithMeta(ColumnBridge.expression(text),
+      ColumnBridge.expression(lang), ColumnBridge.expression(source),
+      width, height))
+  def pngTextValue(payload: Column, key: String): Column =
+    ColumnBridge.column(PngTextValue(ColumnBridge.expression(payload), key))
 }

@@ -202,6 +202,30 @@ class PngCodecSpec extends SparkSpec {
     assert(stats("png") == stats("ppm"))
   }
 
+  test("tEXt chunks: metadata round-trips, pixels unchanged, corruption loud") {
+    import graft.functions.PngCodec.{encodePngWithText, textChunkValue}
+    val g = raster(4 * 3)
+    val withMeta = encodePngWithText(4, 3, 1, g,
+      Seq("lang" -> "en", "source" -> "src7"))
+    assert(textChunkValue(withMeta, "lang") == "en")
+    assert(textChunkValue(withMeta, "source") == "src7")
+    assert(textChunkValue(withMeta, "absent") == null)
+    // ancillary chunks must not perturb the raster
+    assert(decode(withMeta).pixels.toSeq ==
+      decodePng(encodePng(4, 3, 1, g)).pixels.toSeq)
+    // hand-laid tEXt chunk (not via our encoder) parses too
+    val hand = Sig ++ chunk("IHDR", ihdr(1, 1, 8, 0)) ++
+      chunk("tEXt", "k".getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+        "v".getBytes("ISO-8859-1")) ++
+      chunk("IDAT", deflate(Array[Byte](0, 42))) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(textChunkValue(hand, "k") == "v")
+    // a flipped byte in the tEXt payload fails its CRC on the walk
+    val bad = withMeta.clone()
+    bad(8 + 25 + 9) = (bad(8 + 25 + 9) ^ 0x01).toByte // inside first tEXt
+    intercept[IllegalArgumentException](textChunkValue(bad, "lang"))
+  }
+
   test("png_gray encodeFromText round-trips the codepoint fold") {
     val rows = docs
       .withColumn("px", ImageExprs.decodePixels(
