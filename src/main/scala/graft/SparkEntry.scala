@@ -99,7 +99,10 @@ object SparkEntry {
       graft.queries.Round76Queries.queries ++
       graft.queries.Round77Queries.queries ++
       graft.queries.Round78Queries.queries ++
-      graft.queries.Round79Queries.queries
+      graft.queries.Round79Queries.queries ++
+      graft.queries.Round80Queries.queries ++
+      graft.queries.Round81Queries.queries ++
+      graft.queries.Round82Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -183,5 +186,8 @@ object SparkEntry {
       graft.queries.Round76Queries.oracles ++
       graft.queries.Round77Queries.oracles ++
       graft.queries.Round78Queries.oracles ++
-      graft.queries.Round79Queries.oracles
+      graft.queries.Round79Queries.oracles ++
+      graft.queries.Round80Queries.oracles ++
+      graft.queries.Round81Queries.oracles ++
+      graft.queries.Round82Queries.oracles
 }
