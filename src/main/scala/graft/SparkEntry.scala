@@ -102,7 +102,9 @@ object SparkEntry {
       graft.queries.Round79Queries.queries ++
       graft.queries.Round80Queries.queries ++
       graft.queries.Round81Queries.queries ++
-      graft.queries.Round82Queries.queries
+      graft.queries.Round82Queries.queries ++
+      graft.queries.Round83Queries.queries ++
+      graft.queries.Round84Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -189,5 +191,7 @@ object SparkEntry {
       graft.queries.Round79Queries.oracles ++
       graft.queries.Round80Queries.oracles ++
       graft.queries.Round81Queries.oracles ++
-      graft.queries.Round82Queries.oracles
+      graft.queries.Round82Queries.oracles ++
+      graft.queries.Round83Queries.oracles ++
+      graft.queries.Round84Queries.oracles
 }

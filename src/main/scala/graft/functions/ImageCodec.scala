@@ -122,8 +122,9 @@ object ImageCodec {
     else if (m0 == 'P' && m1 == '5') decodeNetpbm(bytes, channels = 1)
     else if (m0 == 'B' && m1 == 'M') decodeBmp(bytes)
     else if (PngCodec.sniff(bytes)) PngCodec.decodePng(bytes)
+    else if (GifCodec.sniff(bytes)) GifCodec.decodeGif(bytes)
     else throw new IllegalArgumentException(
-      s"image: unsupported magic '$m0$m1' (want P6/P5/BM/PNG)")
+      s"image: unsupported magic '$m0$m1' (want P6/P5/BM/PNG/GIF)")
   }
 
   private def isNetpbmWs(c: Byte): Boolean =
@@ -233,6 +234,8 @@ object ImageCodec {
       PngCodec.encodePng(width, height, 3, textRaster(text.toString, width * height * 3))
     case "png_gray" =>
       PngCodec.encodePng(width, height, 1, textRaster(text.toString, width * height))
+    case "gif" =>
+      GifCodec.encodeGif(width, height, textRaster(text.toString, width * height))
     case other => throw new IllegalArgumentException(s"image: unknown format '$other'")
   }
 
