@@ -67,6 +67,66 @@ object AudioCodec {
     out
   }
 
+  // ── G.711 µ-law companding (ITU-T G.711, the 8-bit telephony format) ────
+
+  /** Linear 16-bit → µ-law byte: clamp to 32635, add the 0x84 bias,
+    * 3-bit exponent = floor(log2) − 7, 4-bit mantissa, all bits
+    * inverted on the wire (the G.711 convention). */
+  def mulawEncode(x0: Int): Int = {
+    val sign = if (x0 < 0) 0x80 else 0
+    var x = if (x0 < 0) -x0 else x0
+    if (x > 32635) x = 32635
+    x += 132
+    val exponent = 31 - Integer.numberOfLeadingZeros(x) - 7 // floor(log2) − 7
+    val mantissa = (x >> (exponent + 3)) & 0x0f
+    (~(sign | (exponent << 4) | mantissa)) & 0xff
+  }
+
+  /** µ-law byte → linear 16-bit (the exact inverse quantization). */
+  def mulawDecode(u0: Int): Int = {
+    val u = (~u0) & 0xff
+    val exponent = (u >> 4) & 7
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 3) + 132) << exponent) - 132
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Encode as a µ-law WAV: format tag 7, 8 bits/sample, mono. */
+  def encodeWavMulaw(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"wav: bad sample rate $sampleRate")
+    val dataSize = samples.length
+    val riffSize = 4 + (8 + 16) + (8 + dataSize)
+    val out = new Array[Byte](8 + riffSize)
+    var p = 0
+    def putStr(s: String): Unit = {
+      val b = s.getBytes(US_ASCII); System.arraycopy(b, 0, out, p, b.length)
+      p += b.length
+    }
+    def put16(v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte; p += 2
+    }
+    def put32(v: Int): Unit = { put16(v & 0xffff); put16(v >>> 16) }
+    putStr("RIFF"); put32(riffSize); putStr("WAVE")
+    putStr("fmt "); put32(16)
+    put16(7) // µ-law
+    put16(1) // mono
+    put32(sampleRate)
+    put32(sampleRate) // byte rate: 1 byte per sample
+    put16(1) // block align
+    put16(8) // bits per sample
+    putStr("data"); put32(dataSize)
+    var i = 0
+    while (i < samples.length) {
+      out(p) = mulawEncode(samples(i).toInt).toByte; p += 1; i += 1
+    }
+    out
+  }
+
+  /** Static forwarder: text → µ-law WAV with `n` fixture samples. */
+  def encodeFromTextMulaw(text: UTF8String, sampleRate: Int,
+      n: Int): Array[Byte] =
+    encodeWavMulaw(sampleRate, textSamples(text.toString, n))
+
   final case class DecodedAudio(sampleRate: Int, samples: Array[Int])
 
   private def u16(b: Array[Byte], off: Int): Int =
@@ -77,14 +137,17 @@ object AudioCodec {
     new String(b, off, 4, US_ASCII)
 
   /** Decode by walking the chunk stream: unknown chunks are skipped
-    * (with RIFF's odd-size pad byte), `fmt ` must declare 16-bit mono
-    * PCM. Throws on anything else — loud beats silent garbage. */
+    * (with RIFF's odd-size pad byte), `fmt ` must declare mono 16-bit
+    * PCM (format 1) or mono 8-bit µ-law (format 7, expanded to linear
+    * through [[mulawDecode]]). Throws on anything else — loud beats
+    * silent garbage. */
   def decodeWav(b: Array[Byte]): DecodedAudio = {
     require(b != null && b.length >= 12, "wav: payload too short")
     require(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
       s"wav: bad magic '${tag(b, 0)}'/'${if (b.length >= 12) tag(b, 8) else "?"}'")
     var p = 12
     var rate = -1
+    var fmt = -1
     var samples: Array[Int] = null
     while (p + 8 <= b.length && (rate < 0 || samples == null)) {
       val id = tag(b, p)
@@ -94,19 +157,33 @@ object AudioCodec {
       id match {
         case "fmt " =>
           require(size >= 16, "wav: fmt chunk too small")
-          require(u16(b, p + 8) == 1, "wav: only PCM supported")
+          fmt = u16(b, p + 8)
+          require(fmt == 1 || fmt == 7,
+            s"wav: only PCM (1) and µ-law (7) supported, got $fmt")
           require(u16(b, p + 10) == 1, "wav: only mono supported")
           rate = i32(b, p + 12)
-          require(u16(b, p + 22) == 16, "wav: only 16-bit supported")
+          val bits = u16(b, p + 22)
+          require((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8),
+            s"wav: format $fmt with $bits bits unsupported")
         case "data" =>
           require(rate > 0, "wav: data chunk before fmt")
-          val n = size / 2
-          samples = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            // little-endian signed 16-bit
-            samples(i) = (u16(b, p + 8 + 2 * i) << 16) >> 16
-            i += 1
+          if (fmt == 1) {
+            val n = size / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              // little-endian signed 16-bit
+              samples(i) = (u16(b, p + 8 + 2 * i) << 16) >> 16
+              i += 1
+            }
+          } else {
+            // µ-law: one byte per sample, expanded to linear 16-bit
+            samples = new Array[Int](size)
+            var i = 0
+            while (i < size) {
+              samples(i) = mulawDecode(b(p + 8 + i) & 0xff)
+              i += 1
+            }
           }
         case _ => // unknown chunk: skip
       }
@@ -234,6 +311,22 @@ case class EncodeWavFromText(child: Expression, sampleRate: Int, n: Int)
     copy(child = c)
 }
 
+/** Text → µ-law WAV payload ([[AudioCodec.encodeFromTextMulaw]]);
+  * codegen'd. */
+case class EncodeMulawFromText(child: Expression, sampleRate: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "encode_mulaw_from_text"
+  override protected def nullSafeEval(input: Any): Any =
+    AudioCodec.encodeFromTextMulaw(input.asInstanceOf[UTF8String], sampleRate, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AudioCodec.encodeFromTextMulaw($c, $sampleRate, $n)")
+  override protected def withNewChildInternal(c: Expression): EncodeMulawFromText =
+    copy(child = c)
+}
+
 /** WAV payload → integer sample-statistics struct ([[AudioCodec.statsRow]]). */
 case class AudioStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = AudioCodec.statsSchema
@@ -267,6 +360,10 @@ object AudioExprs {
   def encodeWavFromText(text: Column, sampleRate: Int, n: Int): Column =
     ColumnBridge.column(
       EncodeWavFromText(ColumnBridge.expression(text), sampleRate, n))
+
+  def encodeMulawFromText(text: Column, sampleRate: Int, n: Int): Column =
+    ColumnBridge.column(
+      EncodeMulawFromText(ColumnBridge.expression(text), sampleRate, n))
 
   def audioStats(payload: Column): Column =
     ColumnBridge.column(AudioStats(ColumnBridge.expression(payload)))

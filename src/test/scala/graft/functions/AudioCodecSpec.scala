@@ -84,6 +84,47 @@ class AudioCodecSpec extends SparkSpec {
     }
   }
 
+  test("µ-law: golden anchors from the public G.711 tables") {
+    import AudioCodec.{mulawDecode, mulawEncode}
+    // the published fixed points: +0 → 0xFF, −0 → 0x7F, max magnitude
+    // decodes to ±32124 (encoded 0x80 / 0x00 after wire inversion)
+    assert(mulawEncode(0) == 0xff)
+    assert(mulawDecode(0xff) == 0)
+    assert(mulawDecode(0x7f) == 0)
+    assert(mulawDecode(0x80) == 32124)
+    assert(mulawDecode(0x00) == -32124)
+    assert(mulawEncode(32635) == 0x80)
+    assert(mulawEncode(-32635) == 0x00)
+    assert(mulawEncode(32767) == 0x80) // clamp region
+  }
+
+  test("µ-law: exhaustive 16-bit sweep — error bound and code idempotence") {
+    import AudioCodec.{mulawDecode, mulawEncode}
+    // decode∘encode error ≤ half the top-segment step (512), plus the
+    // clamp region's up-to-644 at |x| > 32635
+    var worst = 0
+    var x = -32768
+    while (x <= 32767) {
+      val err = math.abs(mulawDecode(mulawEncode(x)) - x)
+      if (err > worst) worst = err
+      x += 1
+    }
+    assert(worst == 644, s"worst error $worst") // −32768 → −32124
+    // encode(decode(u)) == u for every code except −0 (0x7F), which
+    // collapses onto +0 per the standard
+    for (u <- 0 until 256 if u != 0x7f)
+      assert(mulawEncode(mulawDecode(u)) == u, f"code 0x$u%02x")
+  }
+
+  test("µ-law WAV round-trips through the generic decode path") {
+    import AudioCodec._
+    val samples = Array.tabulate(300)(i => ((i * 997) % 65536 - 32768).toShort)
+    val dec = decodeWav(encodeWavMulaw(8000, samples))
+    assert(dec.sampleRate == 8000 && dec.samples.length == 300)
+    for (i <- samples.indices)
+      assert(dec.samples(i) == mulawDecode(mulawEncode(samples(i))), s"at $i")
+  }
+
   test("tryImageStats absorbs poison pills as NULL, keeps good rows") {
     val docs = Seq((1L, "good doc"), (7L, "truncated")).toDF("doc_id", "text")
     val out = docs
