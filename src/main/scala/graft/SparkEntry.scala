@@ -105,7 +105,8 @@ object SparkEntry {
       graft.queries.Round82Queries.queries ++
       graft.queries.Round83Queries.queries ++
       graft.queries.Round84Queries.queries ++
-      graft.queries.Round85Queries.queries
+      graft.queries.Round85Queries.queries ++
+      graft.queries.Round86Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -195,5 +196,6 @@ object SparkEntry {
       graft.queries.Round82Queries.oracles ++
       graft.queries.Round83Queries.oracles ++
       graft.queries.Round84Queries.oracles ++
-      graft.queries.Round85Queries.oracles
+      graft.queries.Round85Queries.oracles ++
+      graft.queries.Round86Queries.oracles
 }
