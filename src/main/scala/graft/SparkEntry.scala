@@ -106,7 +106,8 @@ object SparkEntry {
       graft.queries.Round83Queries.queries ++
       graft.queries.Round84Queries.queries ++
       graft.queries.Round85Queries.queries ++
-      graft.queries.Round86Queries.queries
+      graft.queries.Round86Queries.queries ++
+      graft.queries.Round87Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -197,5 +198,6 @@ object SparkEntry {
       graft.queries.Round83Queries.oracles ++
       graft.queries.Round84Queries.oracles ++
       graft.queries.Round85Queries.oracles ++
-      graft.queries.Round86Queries.oracles
+      graft.queries.Round86Queries.oracles ++
+      graft.queries.Round87Queries.oracles
 }

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{JaroWinklerSim, NativeExprs}
+
+/** Eighty-seventh batch — a native string-similarity expression, a
+  * frequency-moment sketch, graph community quality, and a storage-layout
+  * advisor:
+  *
+  *  - d41: Jaro–Winkler ER refinement — brand-blocked part-name pairs
+  *    scored with the new codegen'd [[JaroWinklerSim]] expression (Spark
+  *    has no built-in; the oracle replays DuckDB's
+  *    `jaro_winkler_similarity`, pinned bit-exact over 4 500 randomized
+  *    pairs before this landed). The gate covers the whole algorithm:
+  *    match-window floor, greedy matching, half-transpositions, the 0.7
+  *    boost threshold, and the 4-char prefix cap all shift scores.
+  *  - a22: AMS tug-of-war F2 sketch (Alon–Matias–Szegedy 1996) — 16
+  *    ±1 estimators from a degree-3 polynomial hash over GF(2^61−1)
+  *    (4-wise independent, so E[s²]=F2; a linear hash demonstrably
+  *    collapses to ~1% of F2 from correlated signs). Exact integer
+  *    arithmetic end-to-end: Spark chains the codegen'd `MulModP`,
+  *    DuckDB replays with HUGEINT products — estimator sums are
+  *    BIGINT-exact, no float drift. Exact F2 rides along for the error
+  *    profile; at sf0.01 the mean-of-16 lands within ~6 % of 1.86 M.
+  *  - q128: modularity by community (Newman–Girvan Q) over the
+  *    co-purchase graph — per-community within-edge and degree mass,
+  *    contribution L_c/m − (d_c/2m)²; integers until the final rounded
+  *    division. The synthetic key-bucket partition scores ≈0, which is
+  *    itself the correct read (random orders ⇒ no community structure).
+  *  - p45: encoding-stats layout advisor — per-column run counts
+  *    (page-local: runs reset at l_orderkey boundaries, the parquet-page
+  *    analogue, which also keeps the lag window partition-parallel),
+  *    distinct counts, FOR bit width via `bin()`, and integer cost
+  *    models for bit-pack / RLE / dictionary with the arg-min encoding
+  *    pick — the stats a 100 TB table-layout optimizer derives before
+  *    rewriting files.
+  *
+  * Scale: d41 shuffles once on the block key (the canonical blocked-ER
+  * shape); a22 is a map-side explode×16 feeding a 16-group aggregate;
+  * q128 aggregates the edge list twice (tiny community table, broadcast
+  * total); p45's single window is partitioned by l_orderkey — no global
+  * sort, no single-partition window.
+  *
+  * Reference scope: beyond-reference LLM-pipeline surface (the
+  * reference's transform dialect is open, /root/reference/tools.py:58-65).
+  */
+object Round87Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Mersenne prime 2^61−1 — the portable-hash field modulus. */
+  private val P = (1L << 61) - 1
+
+  // ── d41: Jaro–Winkler similarity over brand-blocked part pairs ────────
+
+  def d41_jaro_winkler(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+        col("a.p_brand").as("brand"),
+        JaroWinklerSim
+          .jaroWinklerRounded(col("a.p_name"), col("b.p_name"), 6).as("jw"))
+      .filter(col("jw") >= 0.88)
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  // ── a22: AMS tug-of-war second-frequency-moment sketch ────────────────
+
+  def a22_ams_f2(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select((col("l_partkey") + 1).as("k"))
+    val sgn = li
+      .select(col("k"), explode(sequence(lit(0L), lit(15L))).as("r"))
+      .withColumn("k2", NativeExprs.mulmodP(col("k"), col("k")))
+      .withColumn("k3", NativeExprs.mulmodP(col("k2"), col("k")))
+      // degree-3 polynomial over GF(P): 4-wise independent sign hash.
+      // Three residues (< P) plus the small constant stay under 4P < 2^63.
+      .withColumn("h",
+        (NativeExprs.mulmodP(lit(7919L) * (col("r") + 1), col("k3")) +
+          NativeExprs.mulmodP(lit(104729L) * (col("r") + 3), col("k2")) +
+          NativeExprs.mulmodP(lit(60013L) * (col("r") + 7), col("k")) +
+          lit(122777L) * col("r")) % P)
+      .withColumn("sign", lit(1L) - lit(2L) * (shiftright(col("h"), 12) % 2L))
+    val est = sgn.groupBy(col("r"))
+      .agg(sum(col("sign")).as("signed_sum"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("r"), col("signed_sum"),
+        (col("signed_sum") * col("signed_sum")).as("est_sq"),
+        col("f2_exact"))
+      .orderBy(col("r"))
+  }
+
+  // ── q128: Newman–Girvan modularity by community ───────────────────────
+
+  def q128_modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = Round6Queries.copurchaseEdges(s, dir).localCheckpoint(true)
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val commDeg = deg.groupBy(expr("(n div 10) % 8").as("comm"))
+      .agg(sum(col("d")).as("deg_sum"))
+    val commIn = e.filter(expr("(u div 10) % 8 = (v div 10) % 8"))
+      .groupBy(expr("(u div 10) % 8").as("comm"))
+      .agg(count(lit(1)).as("l_in"))
+    commDeg.join(commIn, Seq("comm"), "left")
+      .na.fill(0L, Seq("l_in"))
+      .crossJoin(broadcast(m))
+      .select(col("comm"), col("l_in"), col("deg_sum"),
+        round(col("l_in").cast("double") / col("m") -
+          pow(col("deg_sum").cast("double") / (col("m") * 2), 2), 6)
+          .as("contrib"))
+      .orderBy(col("comm"))
+  }
+
+  // ── p45: per-column encoding-stats layout advisor ─────────────────────
+
+  def p45_encoding_stats(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("long").as("ln2"),
+      col("l_orderkey").cast("long").as("ok"),
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+      col("l_quantity").cast("long").as("qty"))
+    val longf = src.selectExpr("l_orderkey", "ln2",
+      """stack(5, 'l_orderkey', ok, 'l_partkey', pk, 'l_suppkey', sk,
+        |  'l_linenumber', ln2, 'l_quantity', qty) AS (col, v)""".stripMargin)
+    val runs = longf.selectExpr("col", "v",
+      """CASE WHEN v IS DISTINCT FROM
+        |  lag(v) OVER (PARTITION BY col, l_orderkey ORDER BY ln2, v)
+        |  THEN 1 ELSE 0 END AS is_run_start""".stripMargin)
+    runs.groupBy(col("col"))
+      .agg(count(lit(1)).as("n"), sum(col("is_run_start")).as("n_runs"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("bit_width", expr(
+        "CASE WHEN vmax = vmin THEN 0L ELSE CAST(length(bin(vmax - vmin)) AS BIGINT) END"))
+      .withColumn("bitpack_bytes", expr("(n * bit_width + 7) div 8"))
+      .withColumn("rle_bytes",
+        expr("n_runs * ((bit_width + 7) div 8 + 4)"))
+      .withColumn("dict_bits", expr(
+        "CASE WHEN n_distinct = 1 THEN 0L ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END"))
+      .withColumn("dict_bytes", expr(
+        "(n * dict_bits + 7) div 8 + (n_distinct * bit_width + 7) div 8"))
+      .withColumn("best_encoding", expr(
+        """CASE WHEN bitpack_bytes <= dict_bytes AND bitpack_bytes <= rle_bytes
+          |  THEN 'bitpack'
+          |  WHEN rle_bytes <= dict_bytes THEN 'rle' ELSE 'dict' END"""
+          .stripMargin))
+      .select(col("col"), col("n"), col("n_runs"), col("n_distinct"),
+        col("vmin"), col("vmax"), col("bit_width"), col("bitpack_bytes"),
+        col("rle_bytes"), col("dict_bits"), col("dict_bytes"),
+        col("best_encoding"))
+      .orderBy(col("col"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_jaro_winkler"  -> (d41_jaro_winkler _),
+    "a22_ams_f2"        -> (a22_ams_f2 _),
+    "q128_modularity"   -> (q128_modularity _),
+    "p45_encoding_stats" -> (p45_encoding_stats _))
+
+  val oracles: Map[String, String] = Map(
+    "d41_jaro_winkler" ->
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb, a.p_brand AS brand,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+        |ORDER BY pa, pb""".stripMargin,
+    "a22_ams_f2" ->
+      s"""WITH sgn AS (
+        |  SELECT r.r,
+        |    (CAST(7919 * (r.r + 1) AS HUGEINT)
+        |       * (CAST(CAST(l_partkey + 1 AS HUGEINT) * (l_partkey + 1)
+        |            % $P AS HUGEINT) * (l_partkey + 1) % $P) % $P
+        |     + CAST(104729 * (r.r + 3) AS HUGEINT)
+        |       * (CAST(l_partkey + 1 AS HUGEINT) * (l_partkey + 1) % $P)
+        |       % $P
+        |     + CAST(60013 * (r.r + 7) AS HUGEINT) * (l_partkey + 1) % $P
+        |     + 122777 * r.r) % $P AS h
+        |  FROM lineitem
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r) r),
+        |est AS (
+        |  SELECT r, SUM(1 - 2 * CAST(h // 4096 % 2 AS BIGINT)) AS signed_sum
+        |  FROM sgn GROUP BY r),
+        |ex AS (
+        |  SELECT SUM(c * c) AS f2_exact FROM (
+        |    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM lineitem GROUP BY 1))
+        |SELECT e.r, CAST(e.signed_sum AS BIGINT) AS signed_sum,
+        |  CAST(e.signed_sum * e.signed_sum AS BIGINT) AS est_sq,
+        |  CAST(ex.f2_exact AS BIGINT) AS f2_exact
+        |FROM est e CROSS JOIN ex ORDER BY e.r""".stripMargin,
+    "q128_modularity" ->
+      """WITH pl AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM pl x JOIN pl y ON x.ok = y.ok AND x.pk < y.pk),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |comm_deg AS (
+        |  SELECT (n // 10) % 8 AS comm, CAST(SUM(d) AS BIGINT) AS deg_sum
+        |  FROM deg GROUP BY 1),
+        |comm_in AS (
+        |  SELECT (u // 10) % 8 AS comm, CAST(COUNT(*) AS BIGINT) AS l_in
+        |  FROM e WHERE (u // 10) % 8 = (v // 10) % 8 GROUP BY 1)
+        |SELECT cd.comm, COALESCE(ci.l_in, 0) AS l_in, cd.deg_sum,
+        |  ROUND(CAST(COALESCE(ci.l_in, 0) AS DOUBLE) / m.m
+        |    - (CAST(cd.deg_sum AS DOUBLE) / (2 * m.m))
+        |      * (CAST(cd.deg_sum AS DOUBLE) / (2 * m.m)), 6) AS contrib
+        |FROM comm_deg cd LEFT JOIN comm_in ci ON cd.comm = ci.comm
+        |CROSS JOIN m ORDER BY cd.comm""".stripMargin,
+    "p45_encoding_stats" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln2,
+        |    CAST(l_orderkey AS BIGINT) AS ok, l_partkey AS pk,
+        |    l_suppkey AS sk, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |longf AS (
+        |  SELECT 'l_orderkey' AS col, ok AS v, l_orderkey, ln2 FROM src
+        |  UNION ALL SELECT 'l_partkey', pk, l_orderkey, ln2 FROM src
+        |  UNION ALL SELECT 'l_suppkey', sk, l_orderkey, ln2 FROM src
+        |  UNION ALL SELECT 'l_linenumber', ln2, l_orderkey, ln2 FROM src
+        |  UNION ALL SELECT 'l_quantity', qty, l_orderkey, ln2 FROM src),
+        |runs AS (
+        |  SELECT col, v,
+        |    CASE WHEN v IS DISTINCT FROM
+        |      lag(v) OVER (PARTITION BY col, l_orderkey ORDER BY ln2, v)
+        |      THEN 1 ELSE 0 END AS is_run_start
+        |  FROM longf),
+        |stats AS (
+        |  SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(is_run_start) AS BIGINT) AS n_runs,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |    MIN(v) AS vmin, MAX(v) AS vmax,
+        |    CASE WHEN MAX(v) = MIN(v) THEN 0
+        |      ELSE CAST(length(bin(MAX(v) - MIN(v))) AS BIGINT) END
+        |      AS bit_width
+        |  FROM runs GROUP BY col),
+        |costs AS (
+        |  SELECT *, (n * bit_width + 7) // 8 AS bitpack_bytes,
+        |    n_runs * ((bit_width + 7) // 8 + 4) AS rle_bytes,
+        |    CASE WHEN n_distinct = 1 THEN 0
+        |      ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END
+        |      AS dict_bits
+        |  FROM stats)
+        |SELECT col, n, n_runs, n_distinct, vmin, vmax, bit_width,
+        |  bitpack_bytes, rle_bytes, dict_bits,
+        |  (n * dict_bits + 7) // 8 + (n_distinct * bit_width + 7) // 8
+        |    AS dict_bytes,
+        |  CASE WHEN bitpack_bytes <= (n * dict_bits + 7) // 8
+        |         + (n_distinct * bit_width + 7) // 8
+        |       AND bitpack_bytes <= rle_bytes THEN 'bitpack'
+        |    WHEN rle_bytes <= (n * dict_bits + 7) // 8
+        |         + (n_distinct * bit_width + 7) // 8 THEN 'rle'
+        |    ELSE 'dict' END AS best_encoding
+        |FROM costs ORDER BY col""".stripMargin)
+}
