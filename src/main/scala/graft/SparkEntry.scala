@@ -107,7 +107,8 @@ object SparkEntry {
       graft.queries.Round84Queries.queries ++
       graft.queries.Round85Queries.queries ++
       graft.queries.Round86Queries.queries ++
-      graft.queries.Round87Queries.queries
+      graft.queries.Round87Queries.queries ++
+      graft.queries.Round88Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -199,5 +200,6 @@ object SparkEntry {
       graft.queries.Round84Queries.oracles ++
       graft.queries.Round85Queries.oracles ++
       graft.queries.Round86Queries.oracles ++
-      graft.queries.Round87Queries.oracles
+      graft.queries.Round87Queries.oracles ++
+      graft.queries.Round88Queries.oracles
 }
