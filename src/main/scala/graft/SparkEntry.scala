@@ -111,7 +111,8 @@ object SparkEntry {
       graft.queries.Round88Queries.queries ++
       graft.queries.Round89Queries.queries ++
       graft.queries.Round90Queries.queries ++
-      graft.queries.Round91Queries.queries
+      graft.queries.Round91Queries.queries ++
+      graft.queries.Round92Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -207,5 +208,6 @@ object SparkEntry {
       graft.queries.Round88Queries.oracles ++
       graft.queries.Round89Queries.oracles ++
       graft.queries.Round90Queries.oracles ++
-      graft.queries.Round91Queries.oracles
+      graft.queries.Round91Queries.oracles ++
+      graft.queries.Round92Queries.oracles
 }
