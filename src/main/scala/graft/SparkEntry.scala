@@ -115,7 +115,8 @@ object SparkEntry {
       graft.queries.Round92Queries.queries ++
       graft.queries.Round93Queries.queries ++
       graft.queries.Round94Queries.queries ++
-      graft.queries.Round95Queries.queries
+      graft.queries.Round95Queries.queries ++
+      graft.queries.Round96Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -215,5 +216,6 @@ object SparkEntry {
       graft.queries.Round92Queries.oracles ++
       graft.queries.Round93Queries.oracles ++
       graft.queries.Round94Queries.oracles ++
-      graft.queries.Round95Queries.oracles
+      graft.queries.Round95Queries.oracles ++
+      graft.queries.Round96Queries.oracles
 }
