@@ -119,7 +119,8 @@ object SparkEntry {
       graft.queries.Round96Queries.queries ++
       graft.queries.Round97Queries.queries ++
       graft.queries.Round98Queries.queries ++
-      graft.queries.Round99Queries.queries
+      graft.queries.Round99Queries.queries ++
+      graft.queries.Round100Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -223,5 +224,6 @@ object SparkEntry {
       graft.queries.Round96Queries.oracles ++
       graft.queries.Round97Queries.oracles ++
       graft.queries.Round98Queries.oracles ++
-      graft.queries.Round99Queries.oracles
+      graft.queries.Round99Queries.oracles ++
+      graft.queries.Round100Queries.oracles
 }
