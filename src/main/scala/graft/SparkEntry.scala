@@ -120,7 +120,8 @@ object SparkEntry {
       graft.queries.Round97Queries.queries ++
       graft.queries.Round98Queries.queries ++
       graft.queries.Round99Queries.queries ++
-      graft.queries.Round100Queries.queries
+      graft.queries.Round100Queries.queries ++
+      graft.queries.Round101Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -225,5 +226,6 @@ object SparkEntry {
       graft.queries.Round97Queries.oracles ++
       graft.queries.Round98Queries.oracles ++
       graft.queries.Round99Queries.oracles ++
-      graft.queries.Round100Queries.oracles
+      graft.queries.Round100Queries.oracles ++
+      graft.queries.Round101Queries.oracles
 }

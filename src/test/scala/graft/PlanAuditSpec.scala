@@ -452,4 +452,36 @@ class PlanAuditSpec extends SparkSpec {
       s"the 5-term probe dictionary must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"stats row must broadcast:\n$p")
   }
+
+  test("d41 Jaro-Winkler pairs hash-join on the block key with the " +
+      "similarity evaluated inside the join") {
+    val p = plan("d41_jaro_winkler")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"),
+      s"brand blocking must stay an equi-join:\n$p")
+    assert(p.contains("jaro_winkler"),
+      s"the comparator must be in the join condition, not a later " +
+        s"filter over materialized pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs fallback:\n$p")
+  }
+
+  test("q127 spatial cell join broadcasts the exploded small side") {
+    val p = plan("q127_spatial_cell_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3x3-exploded supplier side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cell blocking lost:\n$p")
+  }
+
+  test("q141 FIFO allocation joins flows on the part key, never all pairs") {
+    val p = plan("q141_fifo_allocation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the cumulative-range overlap must ride the pk equi-join:\n$p")
+  }
+
+  test("q144 runs the NW DP expression inside whole-stage codegen") {
+    val p = executedPlan("q144_needleman_wunsch")
+    assert(p.contains("nw_align"), s"expression missing from plan:\n$p")
+    assert(p.contains("*("), s"codegen stages missing:\n$p")
+  }
 }
