@@ -121,7 +121,8 @@ object SparkEntry {
       graft.queries.Round98Queries.queries ++
       graft.queries.Round99Queries.queries ++
       graft.queries.Round100Queries.queries ++
-      graft.queries.Round101Queries.queries
+      graft.queries.Round101Queries.queries ++
+      graft.queries.Round102Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -227,5 +228,6 @@ object SparkEntry {
       graft.queries.Round98Queries.oracles ++
       graft.queries.Round99Queries.oracles ++
       graft.queries.Round100Queries.oracles ++
-      graft.queries.Round101Queries.oracles
+      graft.queries.Round101Queries.oracles ++
+      graft.queries.Round102Queries.oracles
 }
