@@ -122,7 +122,8 @@ object SparkEntry {
       graft.queries.Round99Queries.queries ++
       graft.queries.Round100Queries.queries ++
       graft.queries.Round101Queries.queries ++
-      graft.queries.Round102Queries.queries
+      graft.queries.Round102Queries.queries ++
+      graft.queries.Round103Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -229,5 +230,6 @@ object SparkEntry {
       graft.queries.Round99Queries.oracles ++
       graft.queries.Round100Queries.oracles ++
       graft.queries.Round101Queries.oracles ++
-      graft.queries.Round102Queries.oracles
+      graft.queries.Round102Queries.oracles ++
+      graft.queries.Round103Queries.oracles
 }
