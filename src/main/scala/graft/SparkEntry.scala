@@ -126,7 +126,8 @@ object SparkEntry {
       graft.queries.Round103Queries.queries ++
       graft.queries.Round104Queries.queries ++
       graft.queries.Round105Queries.queries ++
-      graft.queries.Round106Queries.queries
+      graft.queries.Round106Queries.queries ++
+      graft.queries.Round107Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -237,5 +238,6 @@ object SparkEntry {
       graft.queries.Round103Queries.oracles ++
       graft.queries.Round104Queries.oracles ++
       graft.queries.Round105Queries.oracles ++
-      graft.queries.Round106Queries.oracles
+      graft.queries.Round106Queries.oracles ++
+      graft.queries.Round107Queries.oracles
 }
