@@ -127,7 +127,8 @@ object SparkEntry {
       graft.queries.Round104Queries.queries ++
       graft.queries.Round105Queries.queries ++
       graft.queries.Round106Queries.queries ++
-      graft.queries.Round107Queries.queries
+      graft.queries.Round107Queries.queries ++
+      graft.queries.Round108Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -239,5 +240,6 @@ object SparkEntry {
       graft.queries.Round104Queries.oracles ++
       graft.queries.Round105Queries.oracles ++
       graft.queries.Round106Queries.oracles ++
-      graft.queries.Round107Queries.oracles
+      graft.queries.Round107Queries.oracles ++
+      graft.queries.Round108Queries.oracles
 }
