@@ -128,7 +128,8 @@ object SparkEntry {
       graft.queries.Round105Queries.queries ++
       graft.queries.Round106Queries.queries ++
       graft.queries.Round107Queries.queries ++
-      graft.queries.Round108Queries.queries
+      graft.queries.Round108Queries.queries ++
+      graft.queries.Round109Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -241,5 +242,6 @@ object SparkEntry {
       graft.queries.Round105Queries.oracles ++
       graft.queries.Round106Queries.oracles ++
       graft.queries.Round107Queries.oracles ++
-      graft.queries.Round108Queries.oracles
+      graft.queries.Round108Queries.oracles ++
+      graft.queries.Round109Queries.oracles
 }
