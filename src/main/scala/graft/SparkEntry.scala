@@ -129,7 +129,8 @@ object SparkEntry {
       graft.queries.Round106Queries.queries ++
       graft.queries.Round107Queries.queries ++
       graft.queries.Round108Queries.queries ++
-      graft.queries.Round109Queries.queries
+      graft.queries.Round109Queries.queries ++
+      graft.queries.Round110Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -243,5 +244,6 @@ object SparkEntry {
       graft.queries.Round106Queries.oracles ++
       graft.queries.Round107Queries.oracles ++
       graft.queries.Round108Queries.oracles ++
-      graft.queries.Round109Queries.oracles
+      graft.queries.Round109Queries.oracles ++
+      graft.queries.Round110Queries.oracles
 }
