@@ -130,7 +130,8 @@ object SparkEntry {
       graft.queries.Round107Queries.queries ++
       graft.queries.Round108Queries.queries ++
       graft.queries.Round109Queries.queries ++
-      graft.queries.Round110Queries.queries
+      graft.queries.Round110Queries.queries ++
+      graft.queries.Round111Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -245,5 +246,6 @@ object SparkEntry {
       graft.queries.Round107Queries.oracles ++
       graft.queries.Round108Queries.oracles ++
       graft.queries.Round109Queries.oracles ++
-      graft.queries.Round110Queries.oracles
+      graft.queries.Round110Queries.oracles ++
+      graft.queries.Round111Queries.oracles
 }
