@@ -131,7 +131,8 @@ object SparkEntry {
       graft.queries.Round108Queries.queries ++
       graft.queries.Round109Queries.queries ++
       graft.queries.Round110Queries.queries ++
-      graft.queries.Round111Queries.queries
+      graft.queries.Round111Queries.queries ++
+      graft.queries.Round112Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -247,5 +248,6 @@ object SparkEntry {
       graft.queries.Round108Queries.oracles ++
       graft.queries.Round109Queries.oracles ++
       graft.queries.Round110Queries.oracles ++
-      graft.queries.Round111Queries.oracles
+      graft.queries.Round111Queries.oracles ++
+      graft.queries.Round112Queries.oracles
 }
