@@ -132,7 +132,8 @@ object SparkEntry {
       graft.queries.Round109Queries.queries ++
       graft.queries.Round110Queries.queries ++
       graft.queries.Round111Queries.queries ++
-      graft.queries.Round112Queries.queries
+      graft.queries.Round112Queries.queries ++
+      graft.queries.Round113Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -249,5 +250,6 @@ object SparkEntry {
       graft.queries.Round109Queries.oracles ++
       graft.queries.Round110Queries.oracles ++
       graft.queries.Round111Queries.oracles ++
-      graft.queries.Round112Queries.oracles
+      graft.queries.Round112Queries.oracles ++
+      graft.queries.Round113Queries.oracles
 }
