@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+
+/** Hundred-fifteenth batch — spectral graph partitioning and a
+  * linear-time novelty probe:
+  *
+  *  - q163: spectral bisection (Fiedler 1973; Shi & Malik 2000
+  *    normalized form) of the thresholded nation trade graph — 30
+  *    deflated power iterations on M = ½I + ½·D^-½AD^-½ (whose
+  *    second eigenvector is the normalized-cut direction), every
+  *    float step under the round(·,12) → DECIMAL(28,12) discipline
+  *    so the oracle's 30 unrolled iteration CTEs land bit-identical
+  *    scores; sign flipped so the minimum node is non-negative, and
+  *    the resulting cut size gated alongside the per-node scores.
+  *  - t64: distinct-substring count
+  *    ([[graft.functions.DistinctSubstringsExpr]]) via a suffix
+  *    automaton — the linear-time repetition/novelty measure; the
+  *    oracle counts the same quantity quadratically
+  *    (`list_distinct` over all O(n²) substrings of the bounded
+  *    prefix), a completely different computation on the same hash.
+  *
+  * Scale: q163's per-iteration cost is one join keyed by the 25-node
+  * table (the corpus-scale pass is only the edge aggregation); t64
+  * is per-row bounded work.
+  *
+  * Reference scope: extension beyond the reference surface (its
+  * transform dialect is open, /root/reference/tools.py:58-65).
+  */
+object Round115Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ── q163: spectral bisection by deflated power iteration ──────────────
+
+  private val Iters = 30
+
+  def q163_spectral_bisection(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast(LongType).as("u"),
+        col("s_nationkey").cast(LongType).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val maxw = w.agg(max(col("w")).as("maxw"))
+    val e = w.crossJoin(broadcast(maxw))
+      .filter(col("w") * 5 >= col("maxw") * 3)
+      .select(col("u"), col("v")).localCheckpoint(true)
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val m2 = deg.agg(sum(col("deg")).as("m2"))
+    val v1 = deg.crossJoin(broadcast(m2))
+      .select(col("n"),
+        sqrt(col("deg").cast(DoubleType) / col("m2").cast(DoubleType))
+          .as("v1"))
+      .localCheckpoint(true)
+
+    var x = deg.select(col("n"),
+        when(row_number().over(Window.orderBy(col("n"))) % 2 === 1, 1.0)
+          .otherwise(-1.0).as("x"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val y = x.join(und, col("n") === und("u"))
+        .join(x.select(col("n").as("nj"), col("x").as("xj")),
+          und("v") === col("nj"))
+        .join(deg.select(col("n").as("ni"), col("deg").as("di")),
+          col("n") === col("ni"))
+        .join(deg.select(col("n").as("nj2"), col("deg").as("dj")),
+          col("nj") === col("nj2"))
+        .groupBy(col("n"), col("x"))
+        .agg(sum(round(col("xj") /
+            sqrt((col("di") * col("dj")).cast(DoubleType)), 12)
+          .cast(DecimalType(28, 12))).cast(DoubleType).as("sj"))
+        .select(col("n"),
+          round(col("x") * 0.5 + col("sj") * 0.5, 12).as("y"))
+      val c = y.join(v1, Seq("n"))
+        .agg(sum(round(col("v1") * col("y"), 12).cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("c"))
+      val z = y.join(v1, Seq("n")).crossJoin(broadcast(c))
+        .select(col("n"),
+          round(col("y") - round(col("c") * col("v1"), 12), 12).as("z"))
+      val nrm = z.agg(sqrt(sum(round(col("z") * col("z"), 12)
+        .cast(DecimalType(28, 12))).cast(DoubleType)).as("nrm"))
+      x = z.crossJoin(broadcast(nrm))
+        .select(col("n"), round(col("z") / col("nrm"), 12).as("x"))
+        .localCheckpoint(true)
+    }
+    val flip = x.orderBy(col("n")).limit(1)
+      .select(when(col("x") < 0, -1.0).otherwise(1.0).as("f"))
+    val fx = x.crossJoin(broadcast(flip))
+      .select(col("n"), (col("x") * col("f")).as("x"))
+      .localCheckpoint(true)
+    val cut = e
+      .join(fx.select(col("n").as("u"), col("x").as("xu")), Seq("u"))
+      .join(fx.select(col("n").as("v"), col("x").as("xv")), Seq("v"))
+      .agg(sum(when(col("xu") * col("xv") < 0, 1L).otherwise(0L))
+        .as("cut_edges"))
+    fx.crossJoin(broadcast(cut))
+      .join(t(s, dir, "nation").select(col("n_nationkey").cast(LongType)
+        .as("n"), col("n_name")), Seq("n"))
+      .select(col("n_name"), round(col("x"), 6).as("fiedler_score"),
+        when(col("x") >= 0, "P").otherwise("N").as("side"),
+        col("cut_edges"))
+      .orderBy(col("n_name"))
+  }
+
+  // ── t64: distinct-substring novelty via suffix automaton ──────────────
+
+  def t64_distinct_substrings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DistinctSubstringsExpr
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+          1, 48).as("p"))
+      .select(col("doc_id"),
+        length(col("p")).cast(LongType).as("n"),
+        DistinctSubstringsExpr.distinctSubstrings(col("p"))
+          .as("n_distinct"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round(col("n_distinct").cast(DoubleType) /
+          (col("n") * (col("n") + 1) / 2).cast(DoubleType), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_spectral_bisection" -> (q163_spectral_bisection _),
+    "t64_distinct_substrings" -> (t64_distinct_substrings _))
+
+  private def iterSql(k: Int): String = {
+    val prev = s"x${k - 1}"
+    s"""y$k AS (
+      |  SELECT x.n,
+      |    ROUND(x.x * 0.5 + CAST(SUM(CAST(ROUND(xj.x /
+      |      sqrt(CAST(d.deg * dj.deg AS DOUBLE)), 12) AS DECIMAL(28,12)))
+      |      AS DOUBLE) * 0.5, 12) AS y
+      |  FROM $prev x
+      |  JOIN und ON und.u = x.n
+      |  JOIN $prev xj ON xj.n = und.v
+      |  JOIN deg d ON d.n = x.n
+      |  JOIN deg dj ON dj.n = und.v
+      |  GROUP BY x.n, x.x),
+      |c$k AS (
+      |  SELECT CAST(SUM(CAST(ROUND(v1.v1 * y.y, 12) AS DECIMAL(28,12)))
+      |    AS DOUBLE) AS c
+      |  FROM y$k y JOIN v1 ON v1.n = y.n),
+      |z$k AS (
+      |  SELECT y.n, ROUND(y.y - ROUND(c.c * v1.v1, 12), 12) AS z
+      |  FROM y$k y JOIN v1 ON v1.n = y.n, c$k c),
+      |nr$k AS (
+      |  SELECT sqrt(CAST(SUM(CAST(ROUND(z.z * z.z, 12) AS DECIMAL(28,12)))
+      |    AS DOUBLE)) AS nrm
+      |  FROM z$k z),
+      |x$k AS (
+      |  SELECT z.n, ROUND(z.z / nr.nrm, 12) AS x FROM z$k z, nr$k nr)"""
+      .stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q163_spectral_bisection" -> {
+      val iters = (1 to Iters).map(iterSql).mkString(",\n")
+      s"""WITH wb AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS u,
+        |    CAST(s.s_nationkey AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT u, v FROM wb WHERE w * 5 >= (SELECT MAX(w) FROM wb) * 3),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT * FROM (SELECT u, v FROM e
+        |                          UNION ALL SELECT v, u FROM e)),
+        |deg AS MATERIALIZED (
+        |  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |m2 AS (SELECT SUM(deg) AS m2 FROM deg),
+        |v1 AS MATERIALIZED (
+        |  SELECT n, sqrt(CAST(deg AS DOUBLE) /
+        |    (SELECT CAST(m2 AS DOUBLE) FROM m2)) AS v1
+        |  FROM deg),
+        |x0 AS (
+        |  SELECT n, CASE WHEN rn % 2 = 1 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(-1.0 AS DOUBLE) END AS x
+        |  FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM deg)),
+        |$iters,
+        |flip AS (
+        |  SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE)
+        |    ELSE CAST(1.0 AS DOUBLE) END AS f
+        |  FROM x$Iters ORDER BY n LIMIT 1),
+        |fx AS MATERIALIZED (
+        |  SELECT x.n, x.x * flip.f AS x FROM x$Iters x, flip),
+        |cut AS (
+        |  SELECT CAST(SUM(CASE WHEN a.x * b.x < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cut_edges
+        |  FROM e JOIN fx a ON a.n = e.u JOIN fx b ON b.n = e.v)
+        |SELECT nat.n_name, ROUND(fx.x, 6) AS fiedler_score,
+        |  CASE WHEN fx.x >= 0 THEN 'P' ELSE 'N' END AS side,
+        |  cut.cut_edges
+        |FROM fx CROSS JOIN cut
+        |JOIN nation nat ON nat.n_nationkey = fx.n
+        |ORDER BY nat.n_name""".stripMargin
+    },
+    "t64_distinct_substrings" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 48)
+        |      AS p
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(length(p) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(flatten(list_transform(
+        |      range(1, length(p) + 1),
+        |      i -> list_transform(range(CAST(i AS BIGINT), length(p) + 1),
+        |        j -> substr(p, CAST(i AS INTEGER),
+        |          CAST(j - i + 1 AS INTEGER))))))) AS BIGINT) AS n_distinct
+        |  FROM s)
+        |SELECT doc_id, n, n_distinct,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / (n * (n + 1) / 2), 6)
+        |    AS novelty
+        |FROM d ORDER BY doc_id""".stripMargin)
+}
