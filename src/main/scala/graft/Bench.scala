@@ -63,10 +63,38 @@ object Bench {
     // query that throws instantly must read as "broken", not as the
     // suite's fastest entry. Failures are excluded from the total and
     // listed in the "errors" field of both JSON lines.
+    //
+    // Same watchdog discipline as Verify (round-11 hardening): a query
+    // that hangs reads as -1.0 after `hangCapSec` instead of rc=124'ing
+    // the whole bench — r10's BENCH artifact died whole because one query
+    // (q163) ran >12 min. The pass runs on a daemon thread under its own
+    // job group (job groups are thread-local) so the timed-out jobs are
+    // cancelled, not left squeezing later queries' executors. 180 s ≈ 12×
+    // the suite's slowest sf0.1 entry — pure hang insurance, never a
+    // measurement path.
+    val hangCapSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "180").toLong
+    var benchSeq = 0
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      benchSeq += 1
+      val group = s"bench-$benchSeq"
+      @volatile var res = -1.0
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+          fn(spark, sfDir).count()
+          res = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => res = -1.0 }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(hangCapSec * 1000)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30000)
+        -1.0
+      } else res
     }
     // Between queries: drop the state earlier queries leave in the shared
     // JVM — cached plans, and the memory-sink temp views every streaming

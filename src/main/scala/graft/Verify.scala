@@ -1,10 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = run(args)
+
+  /** Test-visible body: `extraQueries` lets a spec inject a pathological
+    * entry (e.g. a deliberate sleeper pinning the watchdog contract) and
+    * `stopSession` lets it keep the shared test session alive. */
+  private[graft] def run(args: Array[String],
+      extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty,
+      stopSession: Boolean = true): Unit = {
     // optional 3rd arg: regex over query names (dev iteration — run one
     // family through the gate without paying for the whole suite)
     val Array(sfDir, outDir) = args.take(2)
@@ -12,6 +19,17 @@ object Verify {
     def selected(name: String): Boolean =
       nameFilter.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query watchdog (round-11 hardening): r10's graded artifacts died
+    // whole — one pathological query (q163, ~180 scale-independent Spark
+    // jobs) ran >12 min and the harness rc=124'd the ENTIRE dump, so
+    // CORRECTNESS_r10 was literally `{}`. A query that exceeds the budget
+    // now degrades to ONE red row (synthetic `err` parquet + errors.json
+    // entry) exactly like a throwing query, and the other 435 results
+    // still reach the driver. sys.prop first so specs can tighten it
+    // in-JVM; 120 s default ≈ 8× the suite's slowest sf0.1 entry.
+    val timeoutSec = sys.props.get("graft.verify.timeoutSec")
+      .orElse(sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC"))
+      .map(_.toLong).getOrElse(120L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,18 +42,43 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // A query that throws (analysis or execution) must stay VISIBLE in the
-    // graded artifact: write a one-row {err} parquet in its place — the
-    // driver's DuckDB compare then reports a schema/hash mismatch for that
-    // name instead of silently omitting it (the r6 failure mode, where 17
-    // broken queries made the correctness file read as 100% green).
+    // A query that throws (analysis or execution) or hangs must stay
+    // VISIBLE in the graded artifact: write a one-row {err} parquet in its
+    // place — the driver's DuckDB compare then reports a schema/hash
+    // mismatch for that name instead of silently omitting it (the r6
+    // failure mode, where 17 broken queries made the correctness file read
+    // as 100% green) or timing out the whole dump (the r10 failure mode).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Runs one query dump on a daemon thread under its own job group
+    // (job groups are thread-local, so the group must be set by the
+    // thread that fires the jobs); on timeout the group is cancelled with
+    // interruptOnCancel so running tasks die quickly. Returns the error
+    // message, or None on success.
+    def runOne(name: String,
+        fn: (SparkSession, String) => DataFrame): Option[String] = {
+      val err = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val group = s"verify-$name"
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          err.set(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutSec * 1000)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30000) // grace for task interruption to unwind
+        Some(s"timeout: exceeded ${timeoutSec}s, job group cancelled")
+      } else Option(err.get)
+    }
+    (SparkEntry.queries ++ extraQueries).foreach { case (name, fn) =>
       if (selected(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        runOne(name, fn).foreach { msg =>
           errors(name) = msg
           System.err.println(s"[verify] $name FAILED: $msg")
           import spark.implicits._
@@ -67,6 +110,6 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
-    spark.stop()
+    if (stopSession) spark.stop()
   }
 }

@@ -1,9 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
 
 /** Hundred-fifteenth batch — spectral graph partitioning and a
@@ -24,9 +23,11 @@ import graft.Tables
   *    (`list_distinct` over all O(n²) substrings of the bounded
   *    prefix), a completely different computation on the same hash.
   *
-  * Scale: q163's per-iteration cost is one join keyed by the 25-node
-  * table (the corpus-scale pass is only the edge aggregation); t64
-  * is per-row bounded work.
+  * Scale: q163's only corpus-scale pass is the edge aggregation; the
+  * iterations run on the collected ≤25-node adjacency in driver arrays
+  * (same strategy switch as Graph.connectedComponents — a distributed
+  * loop here would pay per-Spark-job overhead 180× for 25-row frames);
+  * t64 is per-row bounded work.
   *
   * Reference scope: extension beyond the reference surface (its
   * transform dialect is open, /root/reference/tools.py:58-65).
@@ -41,6 +42,7 @@ object Round115Queries {
   private val Iters = 30
 
   def q163_spectral_bisection(s: SparkSession, dir: String): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val w = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -50,65 +52,69 @@ object Round115Queries {
         col("s_nationkey").cast(LongType).as("v"))
       .agg(count(lit(1)).as("w"))
     val maxw = w.agg(max(col("w")).as("maxw"))
-    val e = w.crossJoin(broadcast(maxw))
+    // The only corpus-scale pass is the edge aggregation above. The
+    // thresholded graph is nation×nation — ≤25 nodes / ≤600 directed
+    // edges by construction — so the 30 deflated power iterations run in
+    // driver arrays (the same size-based strategy switch as
+    // Graph.connectedComponents's driverThreshold path at
+    // operators/Graph.scala:36). The previous all-DataFrame formulation
+    // priced each iteration at ~6 Spark jobs of scale-independent
+    // scheduling overhead (>12 min at sf0.01) — distributed machinery for
+    // driver-sized math. Every float step mirrors the engine semantics
+    // the oracle sees: round(·,12) = BigDecimal.valueOf(HALF_UP) exactly
+    // as Spark's Round codegen emits for DoubleType, and the
+    // DECIMAL(28,12)-sum-then-cast-to-double discipline becomes an exact
+    // BigDecimal accumulation.
+    val eArr: Array[(Long, Long)] = w.crossJoin(broadcast(maxw))
       .filter(col("w") * 5 >= col("maxw") * 3)
-      .select(col("u"), col("v")).localCheckpoint(true)
-    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val m2 = deg.agg(sum(col("deg")).as("m2"))
-    val v1 = deg.crossJoin(broadcast(m2))
-      .select(col("n"),
-        sqrt(col("deg").cast(DoubleType) / col("m2").cast(DoubleType))
-          .as("v1"))
-      .localCheckpoint(true)
-
-    var x = deg.select(col("n"),
-        when(row_number().over(Window.orderBy(col("n"))) % 2 === 1, 1.0)
-          .otherwise(-1.0).as("x"))
-      .localCheckpoint(true)
+      .select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Array[(Long, Long)] =
+      (eArr ++ eArr.map(p => (p._2, p._1))).distinct
+    val nodes: Array[Long] = und.map(_._1).distinct.sorted
+    val nbrs: Map[Long, Array[Long]] =
+      und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg: Map[Long, Long] = nbrs.map { case (k, vs) => k -> vs.length.toLong }
+    val m2 = deg.values.sum.toDouble
+    def r12(d: Double): Double =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP).doubleValue()
+    // round(·,12) then cast DECIMAL(28,12): the cast re-rounds the binary
+    // double at scale 12 — same composition as the engine's
+    def dec12(d: Double): JBD =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    def sumDec(vs: Iterable[Double]): Double =
+      vs.foldLeft(JBD.ZERO)((a, v) => a.add(dec12(v))).doubleValue()
+    val v1: Map[Long, Double] =
+      deg.map { case (n, d) => n -> math.sqrt(d.toDouble / m2) }
+    var x: Map[Long, Double] = nodes.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 2 == 0) 1.0 else -1.0)
+    }.toMap
     for (_ <- 1 to Iters) {
-      val y = x.join(und, col("n") === und("u"))
-        .join(x.select(col("n").as("nj"), col("x").as("xj")),
-          und("v") === col("nj"))
-        .join(deg.select(col("n").as("ni"), col("deg").as("di")),
-          col("n") === col("ni"))
-        .join(deg.select(col("n").as("nj2"), col("deg").as("dj")),
-          col("nj") === col("nj2"))
-        .groupBy(col("n"), col("x"))
-        .agg(sum(round(col("xj") /
-            sqrt((col("di") * col("dj")).cast(DoubleType)), 12)
-          .cast(DecimalType(28, 12))).cast(DoubleType).as("sj"))
-        .select(col("n"),
-          round(col("x") * 0.5 + col("sj") * 0.5, 12).as("y"))
-      val c = y.join(v1, Seq("n"))
-        .agg(sum(round(col("v1") * col("y"), 12).cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("c"))
-      val z = y.join(v1, Seq("n")).crossJoin(broadcast(c))
-        .select(col("n"),
-          round(col("y") - round(col("c") * col("v1"), 12), 12).as("z"))
-      val nrm = z.agg(sqrt(sum(round(col("z") * col("z"), 12)
-        .cast(DecimalType(28, 12))).cast(DoubleType)).as("nrm"))
-      x = z.crossJoin(broadcast(nrm))
-        .select(col("n"), round(col("z") / col("nrm"), 12).as("x"))
-        .localCheckpoint(true)
+      val y: Map[Long, Double] = nodes.map { n =>
+        val di = deg(n).toDouble
+        val sj = sumDec(nbrs(n).map(j =>
+          r12(x(j) / math.sqrt(di * deg(j)))))
+        n -> r12(x(n) * 0.5 + sj * 0.5)
+      }.toMap
+      val c = sumDec(nodes.map(n => r12(v1(n) * y(n))))
+      val z: Map[Long, Double] =
+        nodes.map(n => n -> r12(y(n) - r12(c * v1(n)))).toMap
+      val nrm = math.sqrt(sumDec(nodes.map(n => r12(z(n) * z(n)))))
+      x = nodes.map(n => n -> r12(z(n) / nrm)).toMap
     }
-    val flip = x.orderBy(col("n")).limit(1)
-      .select(when(col("x") < 0, -1.0).otherwise(1.0).as("f"))
-    val fx = x.crossJoin(broadcast(flip))
-      .select(col("n"), (col("x") * col("f")).as("x"))
-      .localCheckpoint(true)
-    val cut = e
-      .join(fx.select(col("n").as("u"), col("x").as("xu")), Seq("u"))
-      .join(fx.select(col("n").as("v"), col("x").as("xv")), Seq("v"))
-      .agg(sum(when(col("xu") * col("xv") < 0, 1L).otherwise(0L))
-        .as("cut_edges"))
-    fx.crossJoin(broadcast(cut))
+    val f = if (x(nodes.head) < 0) -1.0 else 1.0
+    val fx: Map[Long, Double] = x.map { case (n, v) => n -> v * f }
+    val cut = eArr.count { case (u, v) => fx(u) * fx(v) < 0 }.toLong
+    def r6(d: Double): Double =
+      JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    import s.implicits._
+    val scores = nodes.toSeq.map(n =>
+      (n, r6(fx(n)), if (fx(n) >= 0) "P" else "N", cut))
+      .toDF("n", "fiedler_score", "side", "cut_edges")
+    broadcast(scores)
       .join(t(s, dir, "nation").select(col("n_nationkey").cast(LongType)
         .as("n"), col("n_name")), Seq("n"))
-      .select(col("n_name"), round(col("x"), 6).as("fiedler_score"),
-        when(col("x") >= 0, "P").otherwise("N").as("side"),
+      .select(col("n_name"), col("fiedler_score"), col("side"),
         col("cut_edges"))
       .orderBy(col("n_name"))
   }
@@ -136,9 +142,13 @@ object Round115Queries {
     "q163_spectral_bisection" -> (q163_spectral_bisection _),
     "t64_distinct_substrings" -> (t64_distinct_substrings _))
 
+  // Every multiply-referenced iteration CTE is MATERIALIZED: DuckDB 1.0
+  // inlines CTEs by default, so an unhinted x_{k-1} (referenced twice by
+  // y_k) would expand the 30-step chain into a 2^30-plan — the oracle
+  // must stay gate-affordable too.
   private def iterSql(k: Int): String = {
     val prev = s"x${k - 1}"
-    s"""y$k AS (
+    s"""y$k AS MATERIALIZED (
       |  SELECT x.n,
       |    ROUND(x.x * 0.5 + CAST(SUM(CAST(ROUND(xj.x /
       |      sqrt(CAST(d.deg * dj.deg AS DOUBLE)), 12) AS DECIMAL(28,12)))
@@ -153,14 +163,14 @@ object Round115Queries {
       |  SELECT CAST(SUM(CAST(ROUND(v1.v1 * y.y, 12) AS DECIMAL(28,12)))
       |    AS DOUBLE) AS c
       |  FROM y$k y JOIN v1 ON v1.n = y.n),
-      |z$k AS (
+      |z$k AS MATERIALIZED (
       |  SELECT y.n, ROUND(y.y - ROUND(c.c * v1.v1, 12), 12) AS z
       |  FROM y$k y JOIN v1 ON v1.n = y.n, c$k c),
       |nr$k AS (
       |  SELECT sqrt(CAST(SUM(CAST(ROUND(z.z * z.z, 12) AS DECIMAL(28,12)))
       |    AS DOUBLE)) AS nrm
       |  FROM z$k z),
-      |x$k AS (
+      |x$k AS MATERIALIZED (
       |  SELECT z.n, ROUND(z.z / nr.nrm, 12) AS x FROM z$k z, nr$k nr)"""
       .stripMargin
   }
@@ -190,7 +200,7 @@ object Round115Queries {
         |  SELECT n, sqrt(CAST(deg AS DOUBLE) /
         |    (SELECT CAST(m2 AS DOUBLE) FROM m2)) AS v1
         |  FROM deg),
-        |x0 AS (
+        |x0 AS MATERIALIZED (
         |  SELECT n, CASE WHEN rn % 2 = 1 THEN CAST(1.0 AS DOUBLE)
         |    ELSE CAST(-1.0 AS DOUBLE) END AS x
         |  FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM deg)),
