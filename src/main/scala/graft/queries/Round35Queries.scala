@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -106,10 +105,11 @@ object Round35Queries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(w_bp) div count(1)").as("avg_bp"))
-    scored
-      .withColumn("rank", row_number().over(
-          Window.orderBy(col("avg_bp").desc, col("doc_id")))
-        .cast(LongType))
+    // top-30 via Rank.globalRank (range-partitioned sort), not an
+    // unpartitioned row_number: scored is one row per (doc, lang) —
+    // corpus-proportional, never single-task
+    graft.operators.Rank.globalRank(scored,
+        "rank", col("avg_bp").desc, col("doc_id"))
       .filter(col("rank") <= 30)
       .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
         col("avg_bp"))

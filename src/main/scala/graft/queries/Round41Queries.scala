@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -92,13 +91,16 @@ object Round41Queries {
     val newTypes = tok.groupBy(col("w"))
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = perDoc.join(newTypes, Seq("doc_id"), "left")
+    // cumulative corpus position via Rank.prefixSum (the distributed
+    // parallel-scan shape), not an unpartitioned running-sum window: the
+    // frame is one row per document — corpus-proportional
+    val base = perDoc.join(newTypes, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .withColumn("cum_typ", sum(col("n_new")).over(w))
+    val pts = graft.operators.Rank.prefixSum(
+        graft.operators.Rank.prefixSum(base,
+          "cum_tok", col("n_tok"), col("doc_id")),
+        "cum_typ", col("n_new"), col("doc_id"))
       .select(log(col("cum_tok").cast(DoubleType)).as("x"),
         log(col("cum_typ").cast(DoubleType)).as("y"))
     val sums = pts.agg(

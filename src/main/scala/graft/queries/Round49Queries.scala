@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -31,11 +30,13 @@ object Round49Queries {
     val l = Round4Queries.t9_trigram_lm(s, dir)
       .select(col("doc_id"), col("lm_score"))
     val joined = q.join(l, "doc_id")
-    val rq = Window.orderBy(col("quality"), col("doc_id"))
-    val rl = Window.orderBy(col("lm_score"), col("doc_id"))
-    val ranked = joined
-      .withColumn("r_q", row_number().over(rq).cast(LongType))
-      .withColumn("r_l", row_number().over(rl).cast(LongType))
+    // both rank passes via Rank.globalRank (range-partitioned sorts):
+    // the frame is one row per document — an unpartitioned row_number
+    // here would funnel the corpus through a single task
+    val ranked = graft.operators.Rank.globalRank(
+      graft.operators.Rank.globalRank(joined,
+        "r_q", col("quality"), col("doc_id")),
+      "r_l", col("lm_score"), col("doc_id"))
     val stats = ranked.agg(count(lit(1)).as("n"),
       sum((col("r_q") - col("r_l")) * (col("r_q") - col("r_l")))
         .as("sum_d2"))

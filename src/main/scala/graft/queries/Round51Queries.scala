@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -69,9 +68,11 @@ object Round51Queries {
         .as("spend_c"))
     val ranked = graft.operators.Rank.globalRank(spend, "p",
       col("spend_c").desc, col("o_custkey"))
-    val w = Window.orderBy(col("p"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = ranked.withColumn("cum_c", sum(col("spend_c")).over(w))
+    // the running spend also goes through Rank.prefixSum — the rank pass
+    // was already distributed, but the cumulative window over |customers|
+    // rows was still single-task (round-11 sweep)
+    val cum = graft.operators.Rank.prefixSum(ranked,
+      "cum_c", col("spend_c"), col("p"))
     val totals = cum.agg(max(col("cum_c")).as("total_c"),
       count(lit(1)).as("n"))
     val joined = cum.crossJoin(broadcast(totals))

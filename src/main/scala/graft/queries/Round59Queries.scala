@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -56,11 +55,12 @@ object Round59Queries {
         Seq("cents"), "full")
       .select(col("cents"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pts
-      .withColumn("i", sum(col("ca")).over(w))
-      .withColumn("j", sum(col("cb")).over(w))
+    // both empirical CDFs via Rank.prefixSum (distributed scan): the
+    // frame is one row per distinct observed value — grows with the
+    // corpus, so an unpartitioned running-sum window would single-task it
+    val cum = graft.operators.Rank.prefixSum(
+      graft.operators.Rank.prefixSum(pts, "i", col("ca"), col("cents")),
+      "j", col("cb"), col("cents"))
     val tot = cum.agg(max(col("i")).as("n"), max(col("j")).as("m"),
       count(lit(1)).as("n_points"))
     cum.crossJoin(broadcast(tot))

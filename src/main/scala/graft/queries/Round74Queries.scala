@@ -105,13 +105,28 @@ object Round74Queries {
       .select(col("custkey"),
         datediff(col("d_max"), col("d_last")).cast(LongType).as("r_days"),
         col("f_orders"), col("m_cents"))
-    val q = per.select(col("custkey"), col("m_cents"),
-      ntile(4).over(Window.orderBy(col("r_days"), col("custkey")))
-        .cast(LongType).as("r_q"),
-      ntile(4).over(Window.orderBy(col("f_orders"), col("custkey")))
-        .cast(LongType).as("f_q"),
-      ntile(4).over(Window.orderBy(col("m_cents"), col("custkey")))
-        .cast(LongType).as("m_q"))
+    // ntile(4) over an empty partition spec would funnel the per-customer
+    // frame (corpus-proportional) through one task per axis. Each axis
+    // instead gets a Rank.globalRank (range-partitioned sort + broadcast
+    // offsets) and the exact ntile arithmetic on (rank, n): the first
+    // n%4 buckets take n/4+1 rows, the rest n/4 — Spark's documented
+    // ntile remainder rule, reproduced in integers.
+    val cnt = per.agg(count(lit(1)).as("n"))
+    val rkd = graft.operators.Rank.globalRank(
+      graft.operators.Rank.globalRank(
+        graft.operators.Rank.globalRank(per,
+          "rk_r", col("r_days"), col("custkey")),
+        "rk_f", col("f_orders"), col("custkey")),
+      "rk_m", col("m_cents"), col("custkey"))
+      .crossJoin(broadcast(cnt))
+    def tile(rk: String): org.apache.spark.sql.Column = expr(
+      s"""CASE WHEN $rk <= (n % 4) * (n div 4 + 1)
+         |  THEN ($rk - 1) div (n div 4 + 1) + 1
+         |  ELSE (n % 4) + ($rk - 1 - (n % 4) * (n div 4 + 1))
+         |       div (n div 4) + 1 END""".stripMargin)
+    val q = rkd.select(col("custkey"), col("m_cents"),
+      tile("rk_r").as("r_q"), tile("rk_f").as("f_q"),
+      tile("rk_m").as("m_q"))
     q.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m_cents")).as("total_cents"))

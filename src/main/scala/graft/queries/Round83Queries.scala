@@ -56,9 +56,12 @@ object Round83Queries {
     val dv = o.groupBy(col("v"))
       .agg(count(lit(1)).as("tc"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"))
-    val rk = dv.withColumn("cless",
-      coalesce(sum(col("tc")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // exclusive prefix count via Rank.prefixSum (inclusive scan minus own
+    // count): dv is one row per distinct order value — corpus-
+    // proportional, so the unpartitioned running-sum window would
+    // single-task it (round-11 sweep)
+    val rk = graft.operators.Rank.prefixSum(dv, "ctot", col("tc"), col("v"))
+      .withColumn("cless", col("ctot") - col("tc"))
     rk.agg(sum(col("c1")).as("n1"), sum(col("tc") - col("c1")).as("n2"),
         sum(col("c1") * (lit(2) * col("cless") + col("tc") + 1)).as("r1_x2"),
         sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tie_t"))

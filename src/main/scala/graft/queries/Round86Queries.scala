@@ -18,7 +18,9 @@ import graft.Tables
   *    exactly how phonetic blocking deploys at scale.
   *  - d40: Fellegi–Sunter match weights (Fellegi & Sunter 1969) — the
   *    probabilistic record-linkage scoring behind every serious ER
-  *    system. Candidate pairs are blocked on nation; per-field m/u
+  *    system. Candidate pairs are blocked on (nation, balance band ±1)
+  *    — the band bound keeps block sizes corpus-density-bounded where
+  *    nation alone is a 25-value constant domain; per-field m/u
   *    probabilities are estimated from the planted ground truth with
   *    Laplace smoothing (+1/+2, so nothing hits ln(0)); each agreement
   *    pattern gets the summed log-likelihood weight. The whole
@@ -35,9 +37,10 @@ import graft.Tables
   *    needs at 100 TB).
   *
   * Scale: d39 aggregates the corpus once to vocab then works per-token;
-  * d40 is one blocked self-join feeding an 8-row pattern table (the ln
-  * scoring never touches pair rows); q127 broadcasts the exploded small
-  * side — zero shuffle on the big probe side.
+  * d40 is one band-blocked self-join (block sizes bounded by local
+  * balance density, not corpus size) feeding a ≤16-row pattern table
+  * (the ln scoring never touches pair rows); q127 broadcasts the
+  * exploded small side — zero shuffle on the big probe side.
   *
   * Reference scope: beyond-reference LLM-pipeline surface (the
   * reference's transform dialect is open, /root/reference/tools.py:58-65).
@@ -89,8 +92,27 @@ object Round86Queries {
 
   def d40_fellegi_sunter(s: SparkSession, dir: String): DataFrame = {
     val rec = Round31Queries.d24Records(s, dir).localCheckpoint(true)
-    val pairs = rec.as("a").join(rec.as("b"),
-        col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+    // Candidate blocking is (nat, balance band ±1), not nat alone: nation
+    // is a 25-value constant domain, so nat-only blocks grow linearly
+    // with the corpus and the within-block all-pairs grows quadratically
+    // (r10 verdict; 14.6 s at sf0.1 was the suite's slowest entry). The
+    // band key composes the same probe-side explode discipline as d24's
+    // band join (Round31Queries.d24Edges): a probes its own band and both
+    // neighbors, so every pair with |Δbalc| ≤ 100 — including ALL planted
+    // matches at Δ = 37 — survives blocking exactly once (b holds one
+    // band; exactly one of a's three exploded values can equal it). The
+    // +100000 shift keeps the dividend positive, where Spark's
+    // truncate-toward-zero `div` and DuckDB's floor `//` agree. m/u are
+    // estimated on the candidate sample, the standard FS deployment shape
+    // (blocking first, estimation on candidates).
+    val probe = rec.select(col("id"), col("name"), col("nat"), col("seg"),
+      col("balc"), explode(expr(
+        """array((balc + 100000) div 100 - 1, (balc + 100000) div 100,
+          |  (balc + 100000) div 100 + 1)""".stripMargin)).as("band"))
+    val build = rec.withColumn("band", expr("(balc + 100000) div 100"))
+    val pairs = probe.as("a").join(build.as("b"),
+        col("a.nat") === col("b.nat") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id"))
       .select(
         // banded threshold form: O(len·k) instead of O(len²) per pair —
         // returns -1 above the bound, so `in [0, 1]` ≡ `distance <= 1`
@@ -218,7 +240,9 @@ object Round86Queries {
         |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_a,
         |    CASE WHEN abs(a.balc - b.balc) <= 100 THEN 1 ELSE 0 END AS bal_a,
         |    CASE WHEN b.id = a.id + 1000000 THEN 1 ELSE 0 END AS is_match
-        |  FROM rec a JOIN rec b ON a.nat = b.nat AND a.id < b.id),
+        |  FROM rec a JOIN rec b ON a.nat = b.nat AND a.id < b.id
+        |    AND abs((a.balc + 100000) // 100
+        |            - (b.balc + 100000) // 100) <= 1),
         |pat AS (
         |  SELECT name_a, seg_a, bal_a, is_match,
         |    CAST(COUNT(*) AS BIGINT) AS n_pairs

@@ -78,9 +78,12 @@ object Round88Queries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     val nn = docs.agg(count(lit(1)).as("n"))
-    val pooled = docs.select(col("n_chars").as("pooled_chars"),
-      row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
-        .as("gr"))
+    // pooled global rank via Rank.globalRank (range-partitioned sort +
+    // broadcast offsets), not an unpartitioned window: the pooled frame
+    // is one row per document — corpus-proportional, never single-task
+    val pooled = graft.operators.Rank
+      .globalRank(docs, "gr", col("n_chars"), col("doc_id"))
+      .select(col("n_chars").as("pooled_chars"), col("gr"))
     val per = docs
       .withColumn("r", row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))))

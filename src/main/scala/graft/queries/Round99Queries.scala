@@ -28,8 +28,10 @@ import graft.Tables
   *    tokenizer-vocabulary economics curve (diminishing coverage per
   *    doubling) in exact counts.
   *
-  * Scale: q142 is one global size rank (range-partitionable) plus a
-  * map-side shard assignment; q143's only full pass is a COUNT below
+  * Scale: q142's global size rank runs through Rank.globalRank (one
+  * range-partitioned sort + broadcast per-partition offsets — never a
+  * single-task window) plus a map-side shard assignment; q143's only
+  * full pass is a COUNT below
   * the band, never a sort; t55 reduces to a vocab-sized table.
   *
   * Reference scope: beyond-reference LLM-pipeline surface (the
@@ -43,9 +45,16 @@ object Round99Queries {
   // ── q142: snake round-robin shard balance audit ───────────────────────
 
   def q142_balanced_sharding(s: SparkSession, dir: String): DataFrame = {
-    val sized = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n_chars").desc, col("doc_id"))) - 1)
+    // Rank.globalRank, not row_number() over an empty partition spec: the
+    // global size rank is the one full-table pass, and an unpartitioned
+    // window funnels every document through a single task — globalRank is
+    // the range-partitioned sort + broadcast-offset shape built for
+    // exactly this (operators/Rank.scala). LongType rank also lands the
+    // shard column as BIGINT, matching the oracle's ROW_NUMBER() dtype.
+    val sized = graft.operators.Rank.globalRank(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "rk1", col("n_chars").desc, col("doc_id"))
+      .withColumn("rk", col("rk1") - 1L)
     val per = sized
       .withColumn("shard", expr(
         "CASE WHEN (rk div 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END"))
