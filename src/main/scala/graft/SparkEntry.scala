@@ -135,7 +135,8 @@ object SparkEntry {
       graft.queries.Round112Queries.queries ++
       graft.queries.Round113Queries.queries ++
       graft.queries.Round114Queries.queries ++
-      graft.queries.Round115Queries.queries
+      graft.queries.Round115Queries.queries ++
+      graft.queries.Round116Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -255,5 +256,6 @@ object SparkEntry {
       graft.queries.Round112Queries.oracles ++
       graft.queries.Round113Queries.oracles ++
       graft.queries.Round114Queries.oracles ++
-      graft.queries.Round115Queries.oracles
+      graft.queries.Round115Queries.oracles ++
+      graft.queries.Round116Queries.oracles
 }
