@@ -21,7 +21,7 @@ import graft.Tables
   *    unlike raw TTR, doesn't decay with document length: mean
   *    distinct-token count over every 20-token sliding window, again
   *    exact bp. Per-row O(n·w) array aggregation.
-  *  - p52: reproducible weighted corpus sampling — every document
+  *  - p53: reproducible weighted corpus sampling — every document
   *    gets a deterministic integer priority h(doc_id)·10⁴ div
   *    n_chars (a multiplicative hash standing in for the uniform
   *    draw; dividing by the weight favors heavier documents, the
@@ -33,7 +33,7 @@ import graft.Tables
   *    the point: the same corpus always yields the same sample, on
   *    any cluster layout.
   *
-  * Scale: t65/t66 are map-only until the output sort; p52 is the
+  * Scale: t65/t66 are map-only until the output sort; p53 is the
   * distributed top-k selection shape.
   *
   * Reference scope: beyond-reference LLM-pipeline surface (the
@@ -82,9 +82,9 @@ object Round116Queries {
       .orderBy(col("doc_id"))
   }
 
-  // ── p52: deterministic hash-priority weighted sample ──────────────────
+  // ── p53: deterministic hash-priority weighted sample ──────────────────
 
-  def p52_hash_priority_sample(s: SparkSession, dir: String): DataFrame = {
+  def p53_hash_priority_sample(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars").cast(LongType).as("w"),
         expr("(doc_id * 2654435761) % 1000003").as("h"))
@@ -97,7 +97,7 @@ object Round116Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t65_gopher_repetition"   -> (t65_gopher_repetition _),
     "t66_mattr"               -> (t66_mattr _),
-    "p52_hash_priority_sample" -> (p52_hash_priority_sample _))
+    "p53_hash_priority_sample" -> (p53_hash_priority_sample _))
 
   val oracles: Map[String, String] = Map(
     "t65_gopher_repetition" ->
@@ -134,7 +134,7 @@ object Round116Queries {
         |SELECT doc_id, n_windows,
         |  sum_distinct * 10000 // (n_windows * 20) AS mattr_bp
         |FROM st ORDER BY doc_id""".stripMargin,
-    "p52_hash_priority_sample" ->
+    "p53_hash_priority_sample" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
         |  (doc_id * 2654435761) % 1000003 AS h,
         |  ((doc_id * 2654435761) % 1000003) * 10000

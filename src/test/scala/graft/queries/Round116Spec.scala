@@ -44,9 +44,9 @@ class Round116Spec extends SparkSpec {
     }
   }
 
-  test("p52: the sample is the exact 50 smallest priorities, reproducibly") {
-    val a = Round116Queries.p52_hash_priority_sample(spark, sf).collect()
-    val b = Round116Queries.p52_hash_priority_sample(spark, sf).collect()
+  test("p53: the sample is the exact 50 smallest priorities, reproducibly") {
+    val a = Round116Queries.p53_hash_priority_sample(spark, sf).collect()
+    val b = Round116Queries.p53_hash_priority_sample(spark, sf).collect()
     assert(a.length === 50)
     // byte-identical across runs — determinism is the operator's contract
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
