@@ -136,7 +136,8 @@ object SparkEntry {
       graft.queries.Round113Queries.queries ++
       graft.queries.Round114Queries.queries ++
       graft.queries.Round115Queries.queries ++
-      graft.queries.Round116Queries.queries
+      graft.queries.Round116Queries.queries ++
+      graft.queries.Round117Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -257,5 +258,6 @@ object SparkEntry {
       graft.queries.Round113Queries.oracles ++
       graft.queries.Round114Queries.oracles ++
       graft.queries.Round115Queries.oracles ++
-      graft.queries.Round116Queries.oracles
+      graft.queries.Round116Queries.oracles ++
+      graft.queries.Round117Queries.oracles
 }
