@@ -137,7 +137,8 @@ object SparkEntry {
       graft.queries.Round114Queries.queries ++
       graft.queries.Round115Queries.queries ++
       graft.queries.Round116Queries.queries ++
-      graft.queries.Round117Queries.queries
+      graft.queries.Round117Queries.queries ++
+      graft.queries.Round118Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -259,5 +260,6 @@ object SparkEntry {
       graft.queries.Round114Queries.oracles ++
       graft.queries.Round115Queries.oracles ++
       graft.queries.Round116Queries.oracles ++
-      graft.queries.Round117Queries.oracles
+      graft.queries.Round117Queries.oracles ++
+      graft.queries.Round118Queries.oracles
 }
