@@ -139,7 +139,8 @@ object SparkEntry {
       graft.queries.Round116Queries.queries ++
       graft.queries.Round117Queries.queries ++
       graft.queries.Round118Queries.queries ++
-      graft.queries.Round119Queries.queries
+      graft.queries.Round119Queries.queries ++
+      graft.queries.Round120Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -263,5 +264,6 @@ object SparkEntry {
       graft.queries.Round116Queries.oracles ++
       graft.queries.Round117Queries.oracles ++
       graft.queries.Round118Queries.oracles ++
-      graft.queries.Round119Queries.oracles
+      graft.queries.Round119Queries.oracles ++
+      graft.queries.Round120Queries.oracles
 }
