@@ -141,7 +141,8 @@ object SparkEntry {
       graft.queries.Round118Queries.queries ++
       graft.queries.Round119Queries.queries ++
       graft.queries.Round120Queries.queries ++
-      graft.queries.Round121Queries.queries
+      graft.queries.Round121Queries.queries ++
+      graft.queries.Round122Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -267,5 +268,6 @@ object SparkEntry {
       graft.queries.Round118Queries.oracles ++
       graft.queries.Round119Queries.oracles ++
       graft.queries.Round120Queries.oracles ++
-      graft.queries.Round121Queries.oracles
+      graft.queries.Round121Queries.oracles ++
+      graft.queries.Round122Queries.oracles
 }
