@@ -72,7 +72,9 @@ object Bench {
     // cancelled, not left squeezing later queries' executors. 180 s ≈ 12×
     // the suite's slowest sf0.1 entry — pure hang insurance, never a
     // measurement path.
-    val hangCapSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "180").toLong
+    val hangCapSec = Watchdog.parseTimeoutSec(
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC"), default = 180L,
+      who = "bench")
     var benchSeq = 0
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       benchSeq += 1

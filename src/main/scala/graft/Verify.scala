@@ -27,9 +27,14 @@ object Verify {
     // entry) exactly like a throwing query, and the other 435 results
     // still reach the driver. sys.prop first so specs can tighten it
     // in-JVM; 120 s default ≈ 8× the suite's slowest sf0.1 entry.
-    val timeoutSec = sys.props.get("graft.verify.timeoutSec")
-      .orElse(sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC"))
-      .map(_.toLong).getOrElse(120L)
+    // Validated (round-12, per advisor): "0" would make Thread.join(0) wait
+    // forever — silently disabling the watchdog and reinstating the exact
+    // r10 whole-dump hang this exists to prevent — and a non-numeric value
+    // would throw before any query ran. Both degrade to the default, loudly.
+    val timeoutSec = Watchdog.parseTimeoutSec(
+      sys.props.get("graft.verify.timeoutSec")
+        .orElse(sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC")),
+      default = 120L, who = "verify")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,15 +59,25 @@ object Verify {
     // thread that fires the jobs); on timeout the group is cancelled with
     // interruptOnCancel so running tasks die quickly. Returns the error
     // message, or None on success.
+    // Round-12 hardening (per advisor): the worker writes to a TEMP slot
+    // and the MAIN thread renames it into place on success — a timed-out
+    // worker stuck in uninterruptible I/O (or a UDF swallowing
+    // InterruptedException) can outlive the 30 s grace, and under the old
+    // scheme its late mode("overwrite") write could clobber/interleave
+    // with the synthetic err parquet at the same path, making the graded
+    // artifact disagree with errors.json. Now the zombie can only ever
+    // touch the temp slot, never the graded one.
     def runOne(name: String,
         fn: (SparkSession, String) => DataFrame): Option[String] = {
       val err = new java.util.concurrent.atomic.AtomicReference[String](null)
       val group = s"verify-$name"
+      val tmpSlot = s"$outDir/.tmp-$name"
+      val streamsBefore = spark.streams.active.map(_.id).toSet
       val t = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+            .parquet(tmpSlot)
         } catch { case e: Throwable =>
           err.set(s"${e.getClass.getSimpleName}: ${e.getMessage}")
         } finally spark.sparkContext.clearJobGroup()
@@ -70,12 +85,38 @@ object Verify {
       t.setDaemon(true)
       t.start()
       t.join(timeoutSec * 1000)
-      if (t.isAlive) {
+      val outcome = if (t.isAlive) {
         spark.sparkContext.cancelJobGroup(group)
+        // Streaming entries (e-family) run microbatches on StreamExecution
+        // threads with their OWN job group, so cancelJobGroup alone leaves
+        // a hung StreamingQuery squeezing executor slots for the rest of
+        // the dump — stop any query this entry started, then interrupt the
+        // worker (it may be blocked in processAllAvailable/awaitTermination
+        // rather than in a Spark task).
+        spark.streams.active.filterNot(q => streamsBefore(q.id))
+          .foreach(q => scala.util.Try(q.stop()))
+        t.interrupt()
         t.join(30000) // grace for task interruption to unwind
+        if (t.isAlive)
+          System.err.println(s"[verify] $name: worker thread still alive " +
+            "after cancel+interrupt+30s grace (uninterruptible I/O?); its " +
+            "late writes can only reach the temp slot, not the artifact")
         Some(s"timeout: exceeded ${timeoutSec}s, job group cancelled")
       } else Option(err.get)
+      if (outcome.isEmpty) {
+        // success: promote temp → graded slot (main thread owns the slot)
+        val src = Paths.get(tmpSlot)
+        val dst = Paths.get(s"$outDir/$name")
+        deleteRecursively(dst)
+        Files.move(src, dst)
+      }
+      outcome
     }
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     (SparkEntry.queries ++ extraQueries).foreach { case (name, fn) =>
       if (selected(name)) {
         runOne(name, fn).foreach { msg =>

@@ -52,86 +52,84 @@ object Round110Queries {
   private val MaxLevel = 6
 
   def q155_betweenness(s: SparkSession, dir: String): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val w = tradeWeights(s, dir)
     val maxw = w.agg(max(col("w")).as("maxw"))
-    val e = w.crossJoin(broadcast(maxw))
-      .filter(col("w") * 5 >= col("maxw") * 3).select(col("u"), col("v"))
-    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    val nodes = und.select(col("u").as("nk")).distinct().localCheckpoint(true)
-
-    // BFS closure (src, n, d) — the q153 frontier loop
-    var sp = nodes.select(col("nk").as("src"), col("nk").as("n"),
-      lit(0L).as("d")).localCheckpoint(true)
-    var frontier = sp
-    var depth = 0L
-    while (!frontier.isEmpty) {
-      depth += 1L
-      val next = frontier.join(und, frontier("n") === und("u"))
-        .select(col("src"), col("v").as("n"), lit(depth).as("d")).distinct()
-        .join(sp.select(col("src").as("s2"), col("n").as("n2")),
-          col("src") === col("s2") && col("n") === col("n2"), "left_anti")
-        .localCheckpoint(true)
-      sp = sp.unionByName(next).localCheckpoint(true)
-      frontier = next
-    }
-
-    // σ, level-synchronous: σ(s, v at level k) = Σ σ(s, preds at k-1)
-    val sig0 = nodes.select(col("nk").as("src"), col("nk").as("n"),
-      lit(0L).as("d"), lit(1L).as("sig"))
-    val sigs = (1 to MaxLevel).scanLeft(sig0) { (prev, k) =>
-      sp.filter(col("d") === k).select(col("src"), col("n"))
-        .join(und, col("n") === und("v"))
-        .join(sp.select(col("src").as("s3"), col("n").as("n3"),
-          col("d").as("d3")),
-          col("src") === col("s3") && und("u") === col("n3") &&
-            col("d3") === (k - 1))
-        .join(prev.select(col("src").as("s4"), col("n").as("n4"),
-          col("sig").as("sig4")),
-          col("src") === col("s4") && und("u") === col("n4"))
-        .groupBy(col("src"), col("n"))
-        .agg(sum(col("sig4")).as("sig"))
-        .select(col("src"), col("n"), lit(k.toLong).as("d"), col("sig"))
-        .localCheckpoint(true)
-    }
-    val siga = sigs.reduce(_ unionByName _).localCheckpoint(true)
-
-    // δ backward: δ(s, v at k) = Σ_w round(σ_v/σ_w · (1+δ_w), 12) over
-    // DAG successors w at k+1
-    var deeper: Option[DataFrame] = None
-    val dels = (MaxLevel - 1 to 1 by -1).map { k =>
-      val base = siga.filter(col("d") === k)
-        .select(col("src"), col("n"), col("sig"))
-        .join(und, col("n") === und("u"))
-        .join(siga.select(col("src").as("s5"), col("n").as("n5"),
-          col("d").as("d5"), col("sig").as("sigw")),
-          col("src") === col("s5") && und("v") === col("n5") &&
-            col("d5") === (k + 1))
-      val withDelta = deeper match {
-        case Some(dw) => base.join(dw.select(col("src").as("s6"),
-            col("n").as("n6"), col("delta").as("dw")),
-            col("src") === col("s6") && col("n5") === col("n6"), "left")
-          .withColumn("dwv", coalesce(col("dw"), lit(0.0)))
-        case None => base.withColumn("dwv", lit(0.0))
+    // The only corpus-scale pass is the tradeWeights aggregation. The
+    // thresholded graph is nation×nation — ≤25 nodes / ≤625 edges by
+    // construction — so BFS + σ + δ run in driver arrays (the q163
+    // strategy-switch pattern, Round115Queries). The previous
+    // all-DataFrame unrolling priced each of ~18 level steps at several
+    // Spark jobs of scale-independent scheduling (~4 s at sf0.1 — the
+    // r11 verdict's What's-wrong #2). Float discipline mirrors the
+    // oracle exactly: round(·,12) = BigDecimal.setScale(12, HALF_UP) on
+    // the double, DECIMAL(28,12) sums = exact BigDecimal accumulation.
+    val eArr: Array[(Long, Long)] = w.crossJoin(broadcast(maxw))
+      .filter(col("w") * 5 >= col("maxw") * 3)
+      .select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Array[(Long, Long)] =
+      (eArr ++ eArr.map(p => (p._2, p._1))).distinct
+    val nodes: Array[Long] = und.map(_._1).distinct.sorted
+    import s.implicits._
+    if (nodes.isEmpty)
+      return Seq.empty[(String, Double)].toDF("n_name", "betweenness")
+    val adj: Map[Long, Array[Long]] =
+      und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def r12(d: Double): Double =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP).doubleValue()
+    def dec12(d: Double): JBD =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    def r6(d: Double): Double =
+      JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    // betweenness accumulator: exact DECIMAL(28,12) sum of per-source δ
+    val bc = scala.collection.mutable.Map[Long, JBD]()
+    for (src <- nodes) {
+      // BFS levels from src over the undirected adjacency
+      val lvl = scala.collection.mutable.Map[Long, Int](src -> 0)
+      var frontier: Array[Long] = Array(src)
+      var depth = 0
+      while (frontier.nonEmpty) {
+        depth += 1
+        frontier = frontier.flatMap(adj(_)).distinct
+          .filterNot(lvl.contains)
+        frontier.foreach(n => lvl(n) = depth)
       }
-      val del = withDelta.groupBy(col("src"), col("n"))
-        .agg(sum(round(col("sig").cast(DoubleType) / col("sigw") *
-            (col("dwv") + 1), 12).cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("delta"))
-        .localCheckpoint(true)
-      deeper = Some(del)
-      del
+      // σ, level-synchronous to MaxLevel (the oracle's unrolled cap):
+      // σ(v at k) = Σ σ(preds at k-1)
+      val sig = scala.collection.mutable.Map[Long, Long](src -> 1L)
+      for (k <- 1 to MaxLevel; n <- nodes if lvl.get(n).contains(k)) {
+        val ssum = adj(n).iterator
+          .filter(u => lvl.get(u).contains(k - 1))
+          .map(u => sig.getOrElse(u, 0L)).sum
+        if (ssum > 0) sig(n) = ssum
+      }
+      // δ backward: δ(v at k) = Σ_w round(σ_v/σ_w · (1+δ_w), 12) over
+      // DAG successors w at k+1, summed as DECIMAL(28,12)
+      val delta = scala.collection.mutable.Map[Long, Double]()
+      for (k <- MaxLevel - 1 to 1 by -1; n <- nodes
+           if lvl.get(n).contains(k)) {
+        val succs = adj(n).filter(wn =>
+          lvl.get(wn).contains(k + 1) && sig.contains(wn))
+        if (succs.nonEmpty) {
+          val acc = succs.foldLeft(JBD.ZERO) { (a, wn) =>
+            a.add(dec12(r12(sig(n).toDouble / sig(wn) *
+              (delta.getOrElse(wn, 0.0) + 1.0))))
+          }
+          delta(n) = acc.doubleValue()
+        }
+      }
+      // della rows (n at level ≥ 1, so n ≠ src by construction)
+      delta.foreach { case (n, dv) =>
+        bc(n) = bc.getOrElse(n, JBD.ZERO).add(dec12(dv))
+      }
     }
-    val della = dels.reduce(_ unionByName _)
-
-    nodes.join(della.filter(col("src") =!= col("n"))
-        .select(col("n").as("nk"), col("delta")), Seq("nk"), "left")
-      .groupBy(col("nk"))
-      .agg(round(coalesce(sum(round(col("delta"), 12)
-          .cast(DecimalType(28, 12))), lit(0)).cast(DoubleType) / 2, 6)
-        .as("betweenness"))
-      .join(t(s, dir, "nation").select(col("n_nationkey").as("nk"),
-        col("n_name")), Seq("nk"))
+    val scores = nodes.toSeq.map(n =>
+      (n, r6(bc.getOrElse(n, JBD.ZERO).doubleValue() / 2)))
+      .toDF("nk", "betweenness")
+    broadcast(scores)
+      .join(t(s, dir, "nation").select(col("n_nationkey").cast(LongType)
+        .as("nk"), col("n_name")), Seq("nk"))
       .select(col("n_name"), col("betweenness"))
       .orderBy(col("n_name"))
   }

@@ -72,6 +72,14 @@ object Round115Queries {
     val und: Array[(Long, Long)] =
       (eArr ++ eArr.map(p => (p._2, p._1))).distinct
     val nodes: Array[Long] = und.map(_._1).distinct.sorted
+    // Degenerate input (no edge clears the threshold — e.g. an empty or
+    // single-nation slice): the DataFrame formulation this replaced
+    // returned an empty frame; match it instead of NPEing at x(nodes.head).
+    if (nodes.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(String, Double, String, Long)]
+        .toDF("n_name", "fiedler_score", "side", "cut_edges")
+    }
     val nbrs: Map[Long, Array[Long]] =
       und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     val deg: Map[Long, Long] = nbrs.map { case (k, vs) => k -> vs.length.toLong }

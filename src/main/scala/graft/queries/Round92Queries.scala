@@ -92,9 +92,31 @@ object Round92Queries {
 
   // ── d44: d41 under the Jaro-Winkler length-prune optimizer rule ───────
 
+  /** Record-level brand-blocked all-pairs — deliberately the UNPRUNED
+    * candidate-set shape (the exact Join-with-jw-in-condition plan
+    * [[graft.plans.JwPrefilterRule]] targets) — executed with the rule
+    * installed; the oracle computes the same result rule-free, so the
+    * hash gate IS the soundness proof that the rewrite drops no pair.
+    * Round 12: pinned to the p_partkey < 2000 fixture (the full `part`
+    * table at sf0.01, a fixed 2 000-row slice at every larger SF), so
+    * the verification stays bounded while d41's corpus path moved to
+    * vocabulary-bounded distinct-name scoring (which no longer carries
+    * the record-level join shape this rule-proof needs). */
   def d44_jw_pruned(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinklerSim
     graft.plans.JwPrefilter.install(s)
-    Round87Queries.d41_jaro_winkler(s, dir)
+    val p = t(s, dir, "part")
+      .filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+        col("a.p_brand").as("brand"),
+        JaroWinklerSim
+          .jaroWinklerRounded(col("a.p_name"), col("b.p_name"), 6).as("jw"))
+      .filter(col("jw") >= 0.88)
+      .orderBy(col("pa"), col("pb"))
   }
 
   // ── m29: Walsh–Hadamard sequency energies over PCM frames ─────────────
@@ -173,7 +195,14 @@ object Round92Queries {
         |    / (CAST((n*(n-1)//2) AS DOUBLE) * (sa + sb) - 2.0 * sa * sb), 6)
         |    AS ari
         |FROM sums""".stripMargin,
-    "d44_jw_pruned" -> Round87Queries.oracles("d41_jaro_winkler"),
+    "d44_jw_pruned" ->
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb, a.p_brand AS brand,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 2000 AND b.p_partkey < 2000
+        |  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+        |ORDER BY pa, pb""".stripMargin,
     "m29_wht_audio" ->
       """WITH s AS (
         |  SELECT doc_id,

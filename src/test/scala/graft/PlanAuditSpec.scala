@@ -453,16 +453,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"stats row must broadcast:\n$p")
   }
 
-  test("d41 Jaro-Winkler pairs hash-join on the block key with the " +
-      "similarity evaluated inside the join") {
+  test("d41 Jaro-Winkler scores distinct name pairs and broadcasts them " +
+      "back onto the record expansion") {
     val p = plan("d41_jaro_winkler")
-    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("SortMergeJoin"),
-      s"brand blocking must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded scored-pair table must broadcast:\n$p")
     assert(p.contains("jaro_winkler"),
-      s"the comparator must be in the join condition, not a later " +
-        s"filter over materialized pairs:\n$p")
+      s"the comparator must appear (over the distinct-name join):\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs fallback:\n$p")
+    // the comparator runs on the distinct-name side only: every join in
+    // the plan is an equi-join (brand / brand+name keys), so record
+    // pairs are never enumerated for scoring
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"record pairs must come from hash equi-joins:\n$p")
   }
 
   test("q127 spatial cell join broadcasts the exploded small side") {
