@@ -142,7 +142,8 @@ object SparkEntry {
       graft.queries.Round119Queries.queries ++
       graft.queries.Round120Queries.queries ++
       graft.queries.Round121Queries.queries ++
-      graft.queries.Round122Queries.queries
+      graft.queries.Round122Queries.queries ++
+      graft.queries.Round123Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -269,5 +270,6 @@ object SparkEntry {
       graft.queries.Round119Queries.oracles ++
       graft.queries.Round120Queries.oracles ++
       graft.queries.Round121Queries.oracles ++
-      graft.queries.Round122Queries.oracles
+      graft.queries.Round122Queries.oracles ++
+      graft.queries.Round123Queries.oracles
 }

@@ -123,8 +123,9 @@ object ImageCodec {
     else if (m0 == 'B' && m1 == 'M') decodeBmp(bytes)
     else if (PngCodec.sniff(bytes)) PngCodec.decodePng(bytes)
     else if (GifCodec.sniff(bytes)) GifCodec.decodeGif(bytes)
+    else if (JpegCodec.sniff(bytes)) JpegCodec.decodeJpeg(bytes)
     else throw new IllegalArgumentException(
-      s"image: unsupported magic '$m0$m1' (want P6/P5/BM/PNG/GIF)")
+      s"image: unsupported magic '$m0$m1' (want P6/P5/BM/PNG/GIF/JPEG)")
   }
 
   private def isNetpbmWs(c: Byte): Boolean =

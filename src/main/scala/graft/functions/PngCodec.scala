@@ -31,9 +31,9 @@ import graft.functions.ImageCodec.DecodedImage
   * Netpbm/BMP (row-major top-down, channel-interleaved, 0..255), so
   * every downstream stats/hash/pooling expression is format-agnostic.
   *
-  * This shrinks the labeled `StubMediaCodec` seam
-  * (operators/Multimodal.scala) to genuinely-external codecs
-  * (JPEG/H.264/MP3, which need JNI libraries the container lacks).
+  * This shrank the labeled `StubMediaCodec` seam
+  * (operators/Multimodal.scala); with [[JpegCodec]] (round 12) the seam
+  * is down to H.264/MP3, which need JNI libraries the container lacks.
   *
   * Reference scope: the reference pipeline has no media path at all
   * (/root/reference/tools.py is CSV/JSON/SQL only); beyond-reference

@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * media format decodes for real: [[PixelMediaCodec]] parses actual
   * Netpbm/BMP payloads via [[graft.functions.ImageCodec]]; WAV/PCM audio
   * decodes via [[graft.functions.AudioCodec]]; Y4M video via
-  * [[graft.functions.VideoCodec]]. [[StubMediaCodec]] remains as the
-  * deterministic test double standing in for COMPRESSED codecs this
-  * container genuinely lacks (JPEG/H.264/MP3 need JNI/ONNX libraries);
-  * swapping it for a production decoder changes only the [[MediaCodec]]
-  * implementation — the distributed plumbing is unchanged.
+  * [[graft.functions.VideoCodec]]. Compressed images decode for real
+  * too: PNG/GIF since round 9 ([[graft.functions.PngCodec]] /
+  * [[graft.functions.GifCodec]]) and baseline JPEG since round 12
+  * ([[graft.functions.JpegCodec]] — Huffman + exact-integer IDCT,
+  * oracle-gated by m42/m43). [[StubMediaCodec]] remains as the
+  * deterministic test double standing in for the codecs this container
+  * still genuinely lacks (H.264 video and MP3 audio, which need JNI/ONNX
+  * libraries); swapping it for a production decoder changes only the
+  * [[MediaCodec]] implementation — the distributed plumbing is unchanged.
   */
 /** The decode seam: everything a real media decoder must provide to slot
   * into [[Multimodal]]'s distributed plumbing. Implementations must be
