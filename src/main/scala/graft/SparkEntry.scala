@@ -143,7 +143,8 @@ object SparkEntry {
       graft.queries.Round120Queries.queries ++
       graft.queries.Round121Queries.queries ++
       graft.queries.Round122Queries.queries ++
-      graft.queries.Round123Queries.queries
+      graft.queries.Round123Queries.queries ++
+      graft.queries.Round124Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -271,5 +272,6 @@ object SparkEntry {
       graft.queries.Round120Queries.oracles ++
       graft.queries.Round121Queries.oracles ++
       graft.queries.Round122Queries.oracles ++
-      graft.queries.Round123Queries.oracles
+      graft.queries.Round123Queries.oracles ++
+      graft.queries.Round124Queries.oracles
 }

@@ -100,6 +100,10 @@ object JpegCodec {
     }
   }
 
+  /** Scaled Annex K luminance DC quantizer at `quality` — the one knob
+    * the m44 quality-sweep oracle re-derives (same formula in SQL). */
+  def scaledLuminanceDc(quality: Int): Int = scaledTable(QLumBase, quality)(0)
+
   /** Annex K Huffman specs: (BITS[1..16], HUFFVAL). The counts are
     * self-validated at class init. */
   private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
