@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * too: PNG/GIF since round 9 ([[graft.functions.PngCodec]] /
   * [[graft.functions.GifCodec]]) and baseline JPEG since round 12
   * ([[graft.functions.JpegCodec]] — Huffman + exact-integer IDCT,
-  * oracle-gated by m42/m43). [[StubMediaCodec]] remains as the
-  * deterministic test double standing in for the codecs this container
-  * still genuinely lacks (H.264 video and MP3 audio, which need JNI/ONNX
+  * oracle-gated by m42/m43), as do compressed audio (IMA ADPCM in WAV,
+  * [[graft.functions.AdpcmCodec]], m46) and compressed video (MJPEG in
+  * AVI, [[graft.functions.AviCodec]], m47). [[StubMediaCodec]] remains
+  * as the deterministic test double standing in for the codecs this
+  * container still genuinely lacks (inter-frame-predicted video — H.264
+  * — and perceptual-transform audio — MP3 — which need JNI/ONNX
   * libraries); swapping it for a production decoder changes only the
   * [[MediaCodec]] implementation — the distributed plumbing is unchanged.
   */
