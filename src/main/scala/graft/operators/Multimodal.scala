@@ -19,12 +19,20 @@ import org.apache.spark.sql.types._
   * ([[graft.functions.JpegCodec]] — Huffman + exact-integer IDCT,
   * oracle-gated by m42/m43), as do compressed audio (IMA ADPCM in WAV,
   * [[graft.functions.AdpcmCodec]], m46) and compressed video (MJPEG in
-  * AVI, [[graft.functions.AviCodec]], m47). [[StubMediaCodec]] remains
-  * as the deterministic test double standing in for the codecs this
-  * container still genuinely lacks (inter-frame-predicted video — H.264
-  * — and perceptual-transform audio — MP3 — which need JNI/ONNX
-  * libraries); swapping it for a production decoder changes only the
-  * [[MediaCodec]] implementation — the distributed plumbing is unchanged.
+  * AVI, [[graft.functions.AviCodec]], m47). Round 12 also added lossless
+  * FLAC ([[graft.functions.FlacCodec]], m48), strip-organized TIFF with
+  * PackBits ([[graft.functions.TiffCodec]], m49), and the METADATA plane
+  * of the two remaining compressed formats: EXIF APP1 extraction from
+  * JPEG ([[graft.functions.ExifCodec]], m50) and the MP3 container walk
+  * — ID3v2.3 tags + MPEG-1 Layer III frame-header hop giving frame
+  * counts/bitrate/duration without sample decode
+  * ([[graft.functions.Mp3Census]], m51). [[StubMediaCodec]] remains as
+  * the deterministic test double standing in ONLY for the perceptual
+  * SAMPLE decode this container still genuinely lacks (H.264
+  * inter-frame reconstruction; MP3 hybrid-filterbank synthesis — both
+  * need JNI/ONNX libraries); swapping it for a production decoder
+  * changes only the [[MediaCodec]] implementation — the distributed
+  * plumbing is unchanged.
   */
 /** The decode seam: everything a real media decoder must provide to slot
   * into [[Multimodal]]'s distributed plumbing. Implementations must be
