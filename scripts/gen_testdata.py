@@ -30,8 +30,14 @@ def main(sf: float, outdir: str) -> None:
     rng = np.random.default_rng(42)
 
     def write(name, table):
-        pq.write_table(table, f"{outdir}/{name}.parquet")
-        print(f"{name}: {table.num_rows} rows")
+        # Row-group the file so Spark can SPLIT it: pyarrow's default is
+        # one giant row group, which forces one scan task per table and
+        # serializes CPU-heavy per-row operators (measured in the round-12
+        # sf1 run: the whole gate crawled on one core). ~32 groups per
+        # table, floored so tiny dims stay single-group.
+        rg = max(4096, table.num_rows // 32)
+        pq.write_table(table, f"{outdir}/{name}.parquet", row_group_size=rg)
+        print(f"{name}: {table.num_rows} rows ({-(-table.num_rows // rg)} row groups)")
 
     i32 = pa.int32()
     i64 = pa.int64()

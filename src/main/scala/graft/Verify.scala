@@ -38,6 +38,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split knob for oversized single files (round-12 sf1
+      // lesson): a one-file table under the default 128 MB split means
+      // ONE task per scan, serializing CPU-heavy per-row operators.
+      // Real deployments have many files; for single-file test dirs set
+      // this to ~total_bytes/cores.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
@@ -76,7 +83,13 @@ object Verify {
       val t = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce propagates the
+          // single-partition constraint UP the plan, so the whole query
+          // recomputes in one task — measured at sf1: t5's 6 s parallel
+          // compute became a 311 s single-task dump and blew the
+          // watchdog. The shuffle barrier keeps compute parallel; the
+          // single output file (driver contract) only pays the write.
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(tmpSlot)
         } catch { case e: Throwable =>
           err.set(s"${e.getClass.getSimpleName}: ${e.getMessage}")

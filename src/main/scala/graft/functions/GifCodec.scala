@@ -63,7 +63,7 @@ object GifCodec {
     * a per-code-READ counter; the pairing stays in sync even at the
     * flush/EOI boundary where the encoder's final data code adds no
     * dictionary entry (the classic GIF LZW off-by-one). */
-  private def lzwCompress(data: Array[Byte]): Array[Byte] = {
+  private[functions] def lzwCompress(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
     var bitBuf = 0; var bitCnt = 0
     var width = 9
@@ -215,7 +215,7 @@ object GifCodec {
 
   /** GIF-LZW decompress the raw code stream into exactly `expect`
     * 8-bit symbols. */
-  private def lzwDecompress(codes: Array[Byte], expect: Int): Array[Byte] = {
+  private[functions] def lzwDecompress(codes: Array[Byte], expect: Int): Array[Byte] = {
     val out = new Array[Byte](expect)
     var outPos = 0
     var bitPos = 0

@@ -21,11 +21,19 @@ import graft.functions.Dialect
 object CoreQueries {
 
   private def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
-  /** Order-independent double sum: exact decimal accumulation, double out. */
-  private def dsum(c: Column, scale: Int = 4): Column = sum(dec(c, scale)).cast(DoubleType)
+  /** Order-independent double sum: exact DECIMAL accumulation, rounded
+    * to 2dp BEFORE the double cast. The round matters at scale: the r12
+    * sf1 run caught q1's 17-significant-digit DECIMAL(18,6) sum
+    * converting to double one ulp apart in Spark vs DuckDB
+    * (…817.5429 vs …817.54289); at 2dp the value is far inside the
+    * double's exact range for any harness scale factor, so both
+    * engines produce the identical bits. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    round(sum(dec(c, scale)), 2).cast(DoubleType)
   /** Order-independent double mean built from exact sum / count. */
   private def davg(c: Column, scale: Int = 4): Column =
-    (sum(dec(c, scale)).cast(DoubleType) / count(c)).cast(DoubleType)
+    (round(sum(dec(c, scale)), 2).cast(DoubleType) /
+      count(c)).cast(DoubleType)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -205,7 +213,8 @@ object CoreQueries {
   def q15_subquery(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
     val thr = p.agg(
-      (sum(dec(col("p_retailprice"))).cast(DoubleType) / count(lit(1))).as("thr"))
+      (round(sum(dec(col("p_retailprice"))), 2)
+        .cast(DoubleType) / count(lit(1))).as("thr"))
     p.crossJoin(broadcast(thr))
       .filter(col("p_retailprice") > col("thr"))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
@@ -232,10 +241,10 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -246,7 +255,7 @@ object CoreQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q3_join_agg" ->
       """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority,
-        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
@@ -255,8 +264,8 @@ object CoreQueries {
     "q4_weekly" ->
       """SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week,
         | o.o_orderpriority AS priority,
-        | CAST(SUM(CAST(COALESCE(l.l_extendedprice, 0.0) * (1.0 - COALESCE(l.l_discount, 0.0)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-        | CAST(SUM(CAST(CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS returned_qty,
+        | CAST(ROUND(SUM(CAST(COALESCE(l.l_extendedprice, 0.0) * (1.0 - COALESCE(l.l_discount, 0.0)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        | CAST(ROUND(SUM(CAST(CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity ELSE 0.0 END AS DECIMAL(18,4))), 2) AS DOUBLE) AS returned_qty,
         | COUNT(l.l_orderkey) AS n_items
         |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -279,7 +288,7 @@ object CoreQueries {
         |FROM s ORDER BY o_orderkey""".stripMargin,
     "q7_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -316,13 +325,13 @@ object CoreQueries {
     "q12_case" ->
       """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END AS prio,
         | o_orderstatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13_month" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q14_strings" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 10) AS name10,
@@ -333,6 +342,6 @@ object CoreQueries {
     "q15_subquery" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (
-        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM part)
+        |  SELECT CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(*) FROM part)
         |ORDER BY p_partkey""".stripMargin)
 }

@@ -39,19 +39,55 @@ object Round76Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // ── d38: directional containment pairs ────────────────────────────────
+  // ── d38: directional containment pairs (prefix-filtered) ──────────────
 
+  /** Round-12 sf1 finding, fixed: the original shared-shingle self-join
+    * generated Σ df² candidate pairs — on the tiny-vocabulary corpus
+    * that is effectively QUADRATIC in document count (2.8 s at sf0.1 →
+    * ~8 min at sf1, the run's worst scaling outlier). The Bayardo
+    * prefix filter the scaladoc always named is now IMPLEMENTED, and
+    * it is lossless for this predicate: the gate keeps pairs with
+    * max(cont_ab, cont_ba) ≥ 0.8, i.e. |A∩B| ≥ ceil(0.8·min(|A|,|B|)),
+    * so the smaller doc has at most min − ceil(0.8·min) shingles
+    * OUTSIDE the intersection — at least one of its
+    * (min − ceil(0.8·min) + 1) globally-rarest shingles is shared.
+    * Candidates therefore join the smaller side's rarity-ordered
+    * PREFIX against the other side's full posting rows; the exact
+    * intersection then runs only over candidate pairs
+    * (Round76Spec pins output equality against the unpruned join). */
   def d38_containment(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
     val sh = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(Text.shingles(col("text"), 3))).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc rarity rank under the global (df, shingle) order; prefix
+    // size = n − ceil(0.8·n) + 1 (integer ceil via (4n+4) div 5)
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(
+      col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+    // one orientation suffices: for any qualifying unordered pair the
+    // SMALLER doc's prefix row meets the larger doc's full posting row
+    // (ties match in either orientation; distinct() collapses them)
+    val candidates = prefix.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          col("a.doc_id") =!= col("b.doc_id") && col("a.n") <= col("b.n"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    // exact intersection, candidates only (two-key equi-joins — the
+    // per-candidate explode is bounded by the candidate count)
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter_sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
