@@ -443,3 +443,72 @@ object NativeExprs {
   def l2sqLong(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** One-pass char-n-gram profile (round-12 sf1 finding): the composable
+  * form — `array_distinct(transform(sequence(...), i => substr(norm,
+  * i+1, n)))` consumed by size/array_min/array_max — re-evaluates the
+  * WHOLE normalize pipeline (regexp_replace + trim + lower) inside the
+  * per-element lambda AND once per consuming aggregate: O(len²)
+  * interpreted work ×3, measured at ~500 s for 50k docs at sf1 while
+  * the sf0.1 BENCH showed 0.126 s (its count() pruned the projection
+  * entirely — a lesson recorded in SCALE.md). This expression
+  * normalizes once, builds the distinct-gram set once, and returns
+  * struct(n_grams, min_gram, max_gram) from one tight loop inside
+  * codegen. Semantics identical to the composable form:
+  * lower(trim(\s+→' ')), char-based n-grams, UTF8String (binary)
+  * ordering for min/max, nulls when the text is shorter than n. */
+object CharGramStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("min_gram", StringType, nullable = true),
+    StructField("max_gram", StringType, nullable = true)))
+
+  def stats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    // normalize: \s+ → single space, trim, lowercase (one pass)
+    val raw = text.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    val s = UTF8String.fromString(sb.toString)
+    val len = s.numChars()
+    if (len < n)
+      return org.apache.spark.sql.catalyst.InternalRow(0, null, null)
+    val seen = new java.util.HashSet[UTF8String](len * 2)
+    var min: UTF8String = null
+    var max: UTF8String = null
+    var k = 0
+    while (k <= len - n) {
+      val g = s.substringSQL(k + 1, n)
+      if (seen.add(g)) {
+        if (min == null || g.compareTo(min) < 0) min = g
+        if (max == null || g.compareTo(max) > 0) max = g
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(seen.size(), min, max)
+  }
+}
+
+/** text → struct(n_grams, min_gram, max_gram) for char n-grams. */
+case class CharGramStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = CharGramStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    CharGramStats.stats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharGramStats.stats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharGramStatsExpr =
+    copy(child = c)
+}

@@ -33,6 +33,14 @@ object Text {
   def shingles(c: Column, n: Int): Column = NativeExprs.tokenShingles(c, n)
 
   /** Character n-gram shingles over the normalized text. */
+  /** One-pass native char-n-gram profile (n_grams/min/max) — see
+    * [[CharGramStats]] for why the composable charShingles form must
+    * not feed multiple consuming aggregates. */
+  def charGramStats(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CharGramStatsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
   def charShingles(c: Column, n: Int): Column = {
     val s = lower(normalizeWs(c))
     when(length(s) >= n,

@@ -139,14 +139,19 @@ object ExtensionQueries {
 
   /** Character-3-gram profile: distinct char-shingle count plus the
     * lexicographic min/max gram (a cheap per-doc signature the char-level
-    * dedup path builds on). */
+    * dedup path builds on). One native expression per row — the prior
+    * composable form (array_distinct(transform(...)) consumed by three
+    * aggregates) re-ran the normalize pipeline inside the per-gram
+    * lambda ×3 consumers: O(len²) interpreted, ~500 s at sf1
+    * (round-12 sf1 finding; CharGramStats in NativeExprs.scala). */
   def t5_char_ngrams(s: SparkSession, dir: String): DataFrame = {
-    val grams = array_distinct(Text.charShingles(col("text"), 3))
     t(s, dir, "documents").select(
       col("doc_id"),
-      size(grams).as("n_grams"),
-      array_min(grams).as("min_gram"),
-      array_max(grams).as("max_gram"))
+      Text.charGramStats(col("text"), 3).as("g"))
+      .select(col("doc_id"),
+        col("g.n_grams").as("n_grams"),
+        col("g.min_gram").as("min_gram"),
+        col("g.max_gram").as("max_gram"))
       .orderBy(col("doc_id"))
   }
 
