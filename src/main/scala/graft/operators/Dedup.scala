@@ -122,9 +122,18 @@ object Dedup {
 
   /** Each document's |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles — the
     * prefix that any ≥t-similar partner must intersect. */
-  private def rankedPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+  private def rankedPrefix(sh: DataFrame, threshold: Double): DataFrame =
+    rankedPrefixWith(sh,
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("df0")), threshold)
+
+  /** [[rankedPrefix]] under a CALLER-SUPPLIED global order (`freq` =
+    * (sh, df0)): the prefix-filter lemma needs both sides of a join to
+    * rank under the SAME total order, so cross-corpus callers pass the
+    * union's document frequencies. Shingles absent from `freq` cannot
+    * occur when freq comes from a union that includes `sh` itself. */
+  private def rankedPrefixWith(sh: DataFrame, freq: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df0"))
     val w = Window.partitionBy(col("id")).orderBy(col("df0"), col("sh"))
     sh.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
@@ -189,15 +198,41 @@ object Dedup {
     * [[shingleSets]] form — the actual incremental-ingest entry point:
     * `corpusSets` is read back from the persisted artifact, so the batch
     * run tokenizes ONLY the incoming batch and the corpus text never
-    * re-enters the plan. */
+    * re-enters the plan.
+    *
+    * Round-12 sf1 finding, fixed: the original full posting-list join
+    * was Σ df² across batch×corpus — 0.16 s at sf0.1 → 73 s at sf1 on
+    * the tiny-vocabulary fixture. Candidates now go through the SAME
+    * Bayardo prefix filter as [[ngramJaccard]] (both sides' prefixes
+    * ranked under ONE shared global order, the union's document
+    * frequencies — the lemma requires a common total order), then
+    * exact [[verifyPairs]]-style verification; lossless for the
+    * threshold, pinned by D9PrefixFilterSpec. */
   def crossNgramJaccardAgainstSets(newDf: DataFrame, corpusSets: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5): DataFrame =
-    jaccardScore(
-      explodedShingles(docShingleSets(newDf, idCol, textCol, n)).as("a")
-        .join(explodedShingles(corpusSets).as("b"),
-          col("a.sh") === col("b.sh")),
-      threshold)
+      threshold: Double = 0.5): DataFrame = {
+    val newSets = docShingleSets(newDf, idCol, textCol, n)
+    val a = explodedShingles(newSets)
+    val b = explodedShingles(corpusSets)
+    val freq = a.select(col("sh")).union(b.select(col("sh")))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df0"))
+    val candidates = rankedPrefixWith(a, freq, threshold).as("x")
+      .join(rankedPrefixWith(b, freq, threshold).as("y"),
+        col("x.sh") === col("y.sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val jac = col("inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("inter")).cast(DoubleType)
+    candidates
+      .join(newSets.select(col("id").as("id_a"), col("n_sh").as("na"),
+        col("shs").as("shs_a")), "id_a")
+      .join(corpusSets.select(col("id").as("id_b"), col("n_sh").as("nb"),
+        col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("inter"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
 
   /** Posting-list view of a [[shingleSets]] artifact: (id, n_sh, sh) rows
     * — what a streaming ingest joins its own shingles against (the
