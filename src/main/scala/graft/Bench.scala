@@ -134,7 +134,26 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter (round-13 drift bisect): a comma-separated
+    // name list or a path to a bench-detail JSON whose query keys define
+    // the subset — lets a clean JVM re-run exactly a prior round's suite
+    // to separate "the new queries slow the shared session" from "a
+    // commit slowed the old queries".
+    val nameFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map { v =>
+        val f = java.nio.file.Paths.get(v)
+        if (java.nio.file.Files.isReadable(f)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          "\"([A-Za-z0-9_]+)\":[0-9-]".r.findAllMatchIn(txt)
+            .map(_.group(1)).toSet
+        } else v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.contains(n)) }
+    nameFilter.foreach(f => println(
+      s"bench: SPARK_GRAFT_BENCH_ONLY active — ${selected.size} of " +
+        s"${SparkEntry.queries.size} queries selected"))
+    val results = selected.map { case (name, fn) =>
       val a = timeOne(fn)
       val v = if (a >= 0 && a < rerunCapSec) {
         // keep the successful first pass if the rerun flakes out
@@ -222,7 +241,11 @@ object Bench {
     // preserved just ~70 of 313 per-query timings in r8 — exactly what made
     // the s2 drift hard to adjudicate across rounds. The file is the
     // durable record; each round's number is snapshotted into SCALE.md.
-    val detailFile = java.nio.file.Paths.get("bench_full_latest.json")
+    // a filtered bisect run must not clobber the durable full-suite
+    // record (it feeds the outlier-rerun reference of future full runs)
+    val detailFile = java.nio.file.Paths.get(
+      if (nameFilter.isEmpty) "bench_full_latest.json"
+      else "bench_subset_latest.json")
     java.nio.file.Files.write(detailFile, (detailLine + "\n").getBytes("UTF-8"))
     // The compact headline line goes LAST: the tail window is what the
     // harness parses, so the line it must parse has to stay well under

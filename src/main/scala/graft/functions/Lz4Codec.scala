@@ -137,9 +137,16 @@ object Lz4Codec {
     java.util.Arrays.copyOf(out, o)
   }
 
-  /** Decompress one block into exactly `expectedLen` bytes; throws on
-    * malformed sequences, bad offsets, or length mismatch. */
-  def decompressBlock(src: Array[Byte], expectedLen: Int): Array[Byte] = {
+  /** Decompress one block into at most `maxLen` bytes and return the
+    * bytes actually produced; throws on malformed sequences, bad
+    * offsets, or output exceeding `maxLen`. Capacity semantics, not
+    * exact-length: conformant foreign frames routinely carry blocks
+    * smaller than the BD block maximum (streaming flush, final block),
+    * so the block layer must accept any size up to the cap and leave
+    * whole-content validation to the frame's content-size field and
+    * xxh32 trailer (round-13 advisory fix). */
+  def decompressBlock(src: Array[Byte], maxLen: Int): Array[Byte] = {
+    val expectedLen = maxLen
     val out = new Array[Byte](expectedLen)
     var i = 0
     var o = 0
@@ -175,9 +182,7 @@ object Lz4Codec {
         o += mLen
       }
     }
-    if (o != expectedLen)
-      throw new IllegalArgumentException(s"lz4: expected $expectedLen got $o")
-    out
+    if (o == expectedLen) out else java.util.Arrays.copyOf(out, o)
   }
 
   // ── LZ4 frame ───────────────────────────────────────────────────────
@@ -252,14 +257,13 @@ object Lz4Codec {
         val data = java.util.Arrays.copyOfRange(frame, i, i + len); i += len
         if (hasBlockCk) { r32(); () } // not emitted by our writer
         if (stored) out.write(data)
-        else {
-          // independent blocks: decompressed size capped by maxBlock or
-          // the declared remainder
-          val remaining =
-            if (contentSize >= 0) (contentSize - out.size()).toInt
-            else maxBlock
-          out.write(decompressBlock(data, math.min(maxBlock, remaining)))
-        }
+        else
+          // independent blocks: each inflates to AT MOST the BD block
+          // maximum — foreign frames may flush smaller-than-max blocks
+          // and may omit the content-size field entirely, so the only
+          // per-block bound is maxBlock; total size is validated below
+          // against the content-size field / content checksum
+          out.write(decompressBlock(data, maxBlock))
         true
       }
     }) ()

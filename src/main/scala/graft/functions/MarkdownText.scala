@@ -115,8 +115,37 @@ object MarkdownText {
           } else { out.append(c); i += 1 }
         } else { out.append(c); i += 1 }
       } else if (c == '*' || c == '_') {
-        // emphasis delimiters unwrap: skip runs of the marker
-        i += 1
+        // emphasis delimiters unwrap — but only runs that CommonMark's
+        // flanking rules would treat as delimiters (round-13 advisory
+        // fix: the old pass dropped EVERY '*'/'_', deleting the
+        // underscores of snake_case identifiers from extracted prose).
+        // A run is dropped iff it could open or close emphasis:
+        //   '*'  left- or right-flanking;
+        //   '_'  additionally may not be intra-word (alnum on both
+        //        sides), per the spec's can-open/can-close refinement.
+        // Space-surrounded runs ("2 * 3") and intra-word underscores
+        // (file_name) stay literal. Residual divergence from full
+        // CommonMark (unPAIRED flanking runs are still dropped, the
+        // mod-3 rule is not applied) is intentional scope.
+        var j = i
+        while (j < n && s.charAt(j) == c) j += 1
+        def ws(k: Int): Boolean =
+          k < 0 || k >= n || Character.isWhitespace(s.charAt(k))
+        def punct(k: Int): Boolean =
+          k >= 0 && k < n && !Character.isWhitespace(s.charAt(k)) &&
+            !Character.isLetterOrDigit(s.charAt(k))
+        val p = i - 1; val q = j
+        val leftFlank = !ws(q) && (!punct(q) || ws(p) || punct(p))
+        val rightFlank = !ws(p) && (!punct(p) || ws(q) || punct(q))
+        val isDelim =
+          if (c == '*') leftFlank || rightFlank
+          else {
+            val canOpen = leftFlank && (!rightFlank || punct(p))
+            val canClose = rightFlank && (!leftFlank || punct(q))
+            canOpen || canClose
+          }
+        if (!isDelim) out.append(s, i, j)
+        i = j
       } else { out.append(c); i += 1 }
     }
     out.toString

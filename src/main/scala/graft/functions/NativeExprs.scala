@@ -454,31 +454,44 @@ object NativeExprs {
   * entirely — a lesson recorded in SCALE.md). This expression
   * normalizes once, builds the distinct-gram set once, and returns
   * struct(n_grams, min_gram, max_gram) from one tight loop inside
-  * codegen. Semantics identical to the composable form:
-  * lower(trim(\s+→' ')), char-based n-grams, UTF8String (binary)
-  * ordering for min/max, nulls when the text is shorter than n. */
+  * codegen. Normalization reproduces the composable form exactly
+  * (round-13 advisory fix): whitespace is Java-regex `\s` — the ASCII
+  * set [ \t\n\x0B\f\r], NOT Character.isWhitespace, which also matches
+  * U+2028 etc. — and lowercasing is the whole-string
+  * UTF8String.toLowerCase that Spark's `lower()` calls (codepoint-
+  * aware, e.g. U+0130 İ → "i" + combining dot), NOT per-UTF-16-char
+  * Character.toLowerCase. min/max use UTF8String (binary) ordering.
+  * Text shorter than n yields (0, null, null) — intentionally the
+  * DuckDB oracle's semantics (len(list from empty range) = 0), where
+  * the old when(length >= n, …) guard produced a null struct; the
+  * gate pins the 0 form. */
 object CharGramStats {
   val schema: StructType = StructType(Seq(
     StructField("n_grams", IntegerType, nullable = false),
     StructField("min_gram", StringType, nullable = true),
     StructField("max_gram", StringType, nullable = true)))
 
+  // Java-regex \s: the ASCII whitespace set only
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   def stats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    // normalize: \s+ → single space, trim, lowercase (one pass)
+    // normalize: \s+ → single space (collapse + trim in one pass), then
+    // the SAME whole-string lowercase Spark's lower() applies
     val raw = text.toString
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     var pendingSpace = false
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      if (isRegexWs(c)) { if (sb.length > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(Character.toLowerCase(c))
+        sb.append(c)
       }
       i += 1
     }
-    val s = UTF8String.fromString(sb.toString)
+    val s = UTF8String.fromString(sb.toString).toLowerCase
     val len = s.numChars()
     if (len < n)
       return org.apache.spark.sql.catalyst.InternalRow(0, null, null)

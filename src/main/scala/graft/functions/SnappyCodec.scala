@@ -105,6 +105,13 @@ object SnappyCodec {
       more = (b & 0x80) != 0
       if (shift > 31) throw new IllegalArgumentException("snappy: varint too long")
     }
+    // a 5-byte varint can assemble a value >= 2^31 whose sign bit flips
+    // `expected` negative — reject it here instead of surfacing a raw
+    // NegativeArraySizeException (round-13 advisory fix: the documented
+    // contract is IllegalArgumentException on malformed input)
+    if (expected < 0)
+      throw new IllegalArgumentException(
+        s"snappy: declared length out of Int range")
     val out = new Array[Byte](expected)
     var o = 0
     while (i < n) {
@@ -114,23 +121,37 @@ object SnappyCodec {
           var len = (tag >>> 2) + 1
           if (len > 60) {
             val extra = len - 60
+            if (i + extra > n)
+              throw new IllegalArgumentException("snappy: truncated literal length")
             len = 0
             var k = 0
             while (k < extra) { len |= (src(i) & 0xFF) << (8 * k); i += 1; k += 1 }
             len += 1
+            // a 4-extra-byte length can set the sign bit, which would slip
+            // past the overrun guards below as a negative — reject it
+            // (round-13 advisory fix)
+            if (len <= 0)
+              throw new IllegalArgumentException(
+                "snappy: literal length out of Int range")
           }
           if (i + len > n || o + len > expected)
             throw new IllegalArgumentException("snappy: literal overrun")
           System.arraycopy(src, i, out, o, len); i += len; o += len
         case 1 => // copy, 1-byte offset
+          if (i + 1 > n)
+            throw new IllegalArgumentException("snappy: truncated copy tag")
           val len = ((tag >>> 2) & 0x7) + 4
           val off = ((tag >>> 5) << 8) | (src(i) & 0xFF); i += 1
           copyWithin(out, o, off, len, expected); o += len
         case 2 => // copy, 2-byte offset
+          if (i + 2 > n)
+            throw new IllegalArgumentException("snappy: truncated copy tag")
           val len = (tag >>> 2) + 1
           val off = (src(i) & 0xFF) | ((src(i + 1) & 0xFF) << 8); i += 2
           copyWithin(out, o, off, len, expected); o += len
         case _ => // copy, 4-byte offset
+          if (i + 4 > n)
+            throw new IllegalArgumentException("snappy: truncated copy tag")
           val len = (tag >>> 2) + 1
           val off = le32(src, i); i += 4
           copyWithin(out, o, off, len, expected); o += len

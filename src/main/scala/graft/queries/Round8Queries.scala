@@ -127,14 +127,26 @@ object Round8Queries {
 
   // ── e14: ingest-time dedup as a STREAM — the incoming batch arrives
   //        through readStream, shingles into a stream-static join against
-  //        the persisted posting artifact (stateless), and one streaming
-  //        aggregation counts shared shingles per (batch, corpus) pair;
-  //        the tiny post-drain reduction (threshold + min dup, batch
-  //        side) runs on the sink. Hash-matching d9's oracle proves the
-  //        streaming ingest path computes exactly the batch answer. ─────
+  //        the persisted posting artifact (STATELESS: no streaming
+  //        aggregation, no state store), and each microbatch's dedup
+  //        verdict is reduced inside foreachBatch — a plain distributed
+  //        batch aggregation with spill support — appending only the
+  //        tiny (doc_id, dup_of) result to parquet. Hash-matching d9's
+  //        oracle proves the streaming ingest path computes exactly the
+  //        batch answer. Round-13 re-design (r12 verdict ask #5): the
+  //        old complete-mode memory sink held the corpus-sized
+  //        (id_a, id_b, inter) aggregate ON THE DRIVER — 48 GB of heap
+  //        at sf1; state now stays on executors and the driver only
+  //        ever sees the per-ingest-batch verdict rows. Semantics: each
+  //        arriving ingest batch is deduped against the persisted
+  //        corpus artifact — the reduction is per-microbatch by design
+  //        (the file source delivers the fixture in one batch; a
+  //        multi-batch ingest deduping each batch on arrival is the
+  //        operator's production contract). ──────────────────────────
   def e14_stream_ingest_dedup(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "documents").schema
-    val name = s"stream_ingest_dedup_${streamSeq.incrementAndGet()}"
+    val outDir = graft.Scratch.dir(
+      s"e14_verdicts_${streamSeq.incrementAndGet()}")
     val corpusPostings =
       Dedup.postingList(s.read.parquet(corpusSetsDir(s, dir)))
     val stream = s.readStream.schema(schema)
@@ -142,22 +154,31 @@ object Round8Queries {
       .filter(col("doc_id") % 2 === 1)
     val batchSh = Dedup.postingList(
       Dedup.shingleSets(stream, "doc_id", "text", n = 3))
-    val inter = batchSh.as("a")
+    val joined = batchSh.as("a")
       .join(corpusPostings.as("b"), col("a.sh") === col("b.sh"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
     withStreamShuffle(s, 4) {
-      val q = inter.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (mb: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val inter = mb.groupBy(col("id_a"), col("id_b"),
+              col("na"), col("nb"))
+            .agg(count(lit(1)).as("inter"))
+          val jac = col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")).cast(DoubleType)
+          inter.filter(jac >= 0.5)
+            .groupBy(col("id_a").as("doc_id"))
+            .agg(min(col("id_b")).as("dup_of"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
       try q.processAllAvailable() finally q.stop()
     }
-    val jac = col("inter").cast(DoubleType) /
-      (col("na") + col("nb") - col("inter")).cast(DoubleType)
-    val best = s.table(name)
-      .filter(jac >= 0.5)
-      .groupBy(col("id_a").as("doc_id"))
-      .agg(min(col("id_b")).as("dup_of"))
+    // read the landed verdicts with an explicit schema: a batch with no
+    // candidate pairs writes no part files
+    val best = s.read.schema("doc_id BIGINT, dup_of BIGINT").parquet(outDir)
     t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
       .select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))

@@ -26,6 +26,31 @@ class CharGramStatsSpec extends SparkSpec {
     assert(stats("zzz zzz", 3) === ((4, " zz", "zzz"))) // 'z z' 'zz ' ' zz'
   }
 
+  test("matches the composable form on non-ASCII edge inputs " +
+      "(round-13 advisory fix: \\s is ASCII-only, lower() is the " +
+      "codepoint-aware whole-string fold)") {
+    import spark.implicits._
+    // U+2028 line separator: Character.isWhitespace says yes, Java-regex
+    // \s says NO — it must survive normalization as a regular char.
+    // U+0130 İ: Character.toLowerCase gives 'i', lower() gives i + U+0307.
+    // U+00C4/FULLWIDTH/emoji: multi-byte UTF-8 through the gram loop.
+    val inputs = Seq(
+      "a b cd", "İstanbul KEBAB", "ÄÖÜ äöü ss",
+      "ＡＢＣ ｄｅｆ", "x🦀y🦀z", "tab\there  \n mixedws",
+      "  ab ", "a b", "")
+    val df = inputs.toDF("text")
+    val grams = array_distinct(Text.charShingles(col("text"), 3))
+    val want = df.select(col("text"), size(grams).as("n"),
+        array_min(grams).as("mn"), array_max(grams).as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    val got = df.select(col("text"), Text.charGramStats(col("text"), 3).as("g"))
+      .select(col("text"), col("g.n_grams"), col("g.min_gram"), col("g.max_gram"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(got === want, "native form diverged from the composable form")
+  }
+
   test("matches the composable Spark form on the sf0.001 corpus") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val grams = array_distinct(Text.charShingles(col("text"), 3))

@@ -88,10 +88,44 @@ class Lz4SnappyCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Lz4Codec.decompressBlock(bad, 8)
     }
-    val good = Lz4Codec.compressBlock("abcdabcdabcdabcd".getBytes("UTF-8"))
+    // capacity semantics (round-13 advisory fix): a block smaller than
+    // the cap decodes to its ACTUAL length — foreign frames flush
+    // non-full blocks routinely; whole-content length is the frame
+    // layer's job (content-size field + xxh32 trailer)
+    val src = "abcdabcdabcdabcd".getBytes("UTF-8")
+    val good = Lz4Codec.compressBlock(src)
+    assert(Lz4Codec.decompressBlock(good, 999).toSeq === src.toSeq)
+    // ...but output beyond the cap still throws
     intercept[IllegalArgumentException] {
-      Lz4Codec.decompressBlock(good, 999) // wrong expected length
+      Lz4Codec.decompressBlock(good, 7)
     }
+  }
+
+  test("lz4 frame: foreign frames with non-full blocks and no content size") {
+    // hand-build a conformant frame our encoder would never emit:
+    // FLG without the content-size bit, tiny non-full blocks (streaming
+    // flush),
+    // content checksum present — a spec-conformant foreign writer
+    val parts = Seq("alpha beta gamma ", "d", "elta epsilon zeta eta theta ",
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau ")
+    val raw = parts.mkString.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    w32(0x184D2204)
+    val flg = (1 << 6) | (1 << 2) // v1, content checksum, NO content size
+    val bd = 0x40 // 64 KB block max
+    w8(flg); w8(bd)
+    w8(Lz4Codec.xxh32(Array(flg.toByte, bd.toByte), 0, 2, 0) >>> 8)
+    for (p <- parts) {
+      val block = p.getBytes("UTF-8")
+      val comp = Lz4Codec.compressBlock(block)
+      if (comp.length < block.length) { w32(comp.length); out.write(comp) }
+      else { w32(block.length | 0x80000000); out.write(block) }
+    }
+    w32(0)
+    w32(Lz4Codec.xxh32(raw, 0, raw.length, 0))
+    assert(Lz4Codec.decompressFrame(out.toByteArray).toSeq === raw.toSeq)
   }
 
   // ── LZ4 frame format ─────────────────────────────────────────────────
@@ -207,6 +241,35 @@ class Lz4SnappyCodecSpec extends AnyFunSuite {
     val good = SnappyCodec.compress(prBytes(100, 13L))
     intercept[IllegalArgumentException] {
       SnappyCodec.decompress(good.dropRight(5)) // truncated literals
+    }
+  }
+
+  test("snappy decoder rejects hostile Int-overflow inputs with the " +
+      "documented exception (round-13 advisory fix)") {
+    // 5-byte varint declaring 2^31 (sign bit): must be
+    // IllegalArgumentException, not NegativeArraySizeException
+    intercept[IllegalArgumentException] {
+      SnappyCodec.decompress(
+        Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x08))
+    }
+    // literal with a 4-extra-byte length whose sign bit is set: the
+    // assembled len is negative and must be rejected before the copy
+    intercept[IllegalArgumentException] {
+      SnappyCodec.decompress(Array[Byte](
+        0x05, // declared length 5
+        0xFC.toByte, // literal tag, 4 extra length bytes
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, // len = -1 + 1
+        0x61, 0x62))
+    }
+    // truncated copy tags: contract exception, not ArrayIndexOutOfBounds
+    intercept[IllegalArgumentException] {
+      SnappyCodec.decompress(Array[Byte](0x08, 0x61)) // copy-1 tag, offset byte missing
+    }
+    intercept[IllegalArgumentException] {
+      SnappyCodec.decompress(Array[Byte](0x08, 0x62, 0x01)) // copy-2 tag, one offset byte
+    }
+    intercept[IllegalArgumentException] {
+      SnappyCodec.decompress(Array[Byte](0x08, 0x63, 0x01, 0x01)) // copy-4 tag, two bytes
     }
   }
 }

@@ -48,6 +48,21 @@ class MarkdownTextSpec extends AnyFunSuite {
     assert(body("escaped \\* star\n") === "escaped * star")
   }
 
+  test("flanking rules: intra-word underscores and literal stars survive " +
+      "(round-13 advisory fix)") {
+    // snake_case / file_names are prose tokens, not emphasis (CommonMark:
+    // '_' may not open or close intra-word)
+    assert(body("use snake_case and my_file_name.txt here\n")
+      === "use snake_case and my_file_name.txt here")
+    // space-surrounded runs are neither left- nor right-flanking
+    assert(body("compute 2 * 3 and a _ b\n") === "compute 2 * 3 and a _ b")
+    // intra-word '*' CAN be emphasis per CommonMark — still unwraps
+    assert(body("intra*word*stars\n") === "intrawordstars")
+    // real emphasis still unwraps in the same text
+    assert(body("_ital_ touches file_name\n") === "ital touches file_name")
+    assert(body("**bold** next to snake_case\n") === "bold next to snake_case")
+  }
+
   test("blockquotes, lists, thematic breaks strip to text") {
     assert(body("> quoted line\n> > nested\n") === "quoted line nested")
     assert(body("- item one\n* item two\n+ item three\n")
