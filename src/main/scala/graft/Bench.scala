@@ -221,6 +221,32 @@ object Bench {
       case (name, v) if v > 0 && pinnedMap.get(name).exists(p =>
         p > 0 && v > 2.5 * p) => name
     }
+    // JVM-pressure diagnostics (round-13 drift investigation): r12 showed
+    // a uniform ~25% slowdown across 457 UNCHANGED queries with no plan
+    // changes — the signature of whole-JVM pressure (JIT code-cache
+    // exhaustion silently disabling compilation, or GC squeeze), not of a
+    // plan regression. Measure instead of guessing: report code-heap
+    // occupancy vs capacity, cumulative JIT compilation time, and total GC
+    // time in the detail line so any future drift can be adjudicated from
+    // the artifact alone.
+    val jvmDiag: String = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName == "Code Cache")
+      val codeUsed = pools.map(_.getUsage.getUsed).sum
+      val codeMax = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum
+      val jitMs = java.lang.management.ManagementFactory
+        .getCompilationMXBean.getTotalCompilationTime
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val heapMax = Runtime.getRuntime.maxMemory
+      s"""{"code_heap_used_mb":${codeUsed / (1024 * 1024)},""" +
+        s""""code_heap_max_mb":${codeMax / (1024 * 1024)},""" +
+        s""""jit_total_ms":$jitMs,"gc_total_ms":$gcMs,""" +
+        s""""heap_max_mb":${heapMax / (1024 * 1024)}}"""
+    }
     val mode = s"min2_under${rerunCapSec}s+outlier2.5x"
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // "12,345" and corrupt the JSON the harness parses
@@ -234,7 +260,7 @@ object Bench {
     // Full per-query detail first (for humans reading the log)...
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","mode":"$mode","artifact_build_sec":${fmt(artifactBuildSec)},"outlier_reruns":$outlierJson,"regressions_vs_r11":$regJson,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","mode":"$mode","artifact_build_sec":${fmt(artifactBuildSec)},"jvm_diag":$jvmDiag,"outlier_reruns":$outlierJson,"regressions_vs_r11":$regJson,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     println(detailLine)
     // ...and ALSO persisted to a stable file: the harness that wraps sbt
     // keeps only the final ~2KB of stdout, so the graded BENCH_rN artifact

@@ -2,18 +2,21 @@ package graft.functions
 
 import graft.functions.ImageCodec.DecodedImage
 
-/** Pure-JVM baseline JPEG (JFIF) codec — the first LOSSY compressed
-  * format in the media family, zero native dependencies. Everything here
-  * is public spec: ITU-T T.81 / ISO 10918-1 (marker syntax, Huffman
-  * entropy coding per Annexes C/F, the Annex K example quantization and
-  * Huffman tables) and the JFIF 1.02 container note. The inverse DCT is
-  * the Loeffler–Ligtenberg–Moshovitz 1989 fixed-point factorization (the
+/** Pure-JVM baseline + progressive JPEG (JFIF) codec — the first LOSSY
+  * compressed format in the media family, zero native dependencies.
+  * Everything here is public spec: ITU-T T.81 / ISO 10918-1 (marker
+  * syntax, Huffman entropy coding per Annexes C/F, progressive
+  * spectral-selection + successive-approximation procedures per Annex G,
+  * the Annex K example quantization and Huffman tables) and the JFIF
+  * 1.02 container note. The inverse DCT is the
+  * Loeffler–Ligtenberg–Moshovitz 1989 fixed-point factorization (the
   * same published algorithm the IJG "islow" path implements), chosen so
   * every decode step is EXACT INTEGER math a SQL oracle can replay:
   *
-  *  - markers: SOI, APP0 (JFIF), DQT, SOF0 (baseline sequential, 8-bit),
-  *    DHT, DRI/RSTn, SOS, EOI; APPn/COM skipped; progressive (SOF2) and
-  *    every other unsupported frame type is a LOUD error, never garbage;
+  *  - markers: SOI, APP0 (JFIF), DQT, SOF0/1 (sequential, 8-bit) and
+  *    SOF2 (progressive: multi-scan DC/AC first + refinement with EOB
+  *    runs), DHT, DRI/RSTn, SOS, EOI; APPn/COM skipped; every other
+  *    frame type is a LOUD error, never garbage;
   *  - entropy: canonical Huffman from BITS/HUFFVAL (Annex C code
   *    construction, Annex F DECODE procedure), DC diff categories, AC
   *    run/size with ZRL and EOB, 0xFF00 byte stuffing both directions;
@@ -263,6 +266,23 @@ object JpegCodec {
       }
       t.huffVal(t.valPtr(l) + code - t.minCode(l))
     }
+    /** Byte-align and scan forward to the next true marker (skipping
+      * stuffed 0xFF00 data bytes and stray RSTn), returning its 0xFF
+      * offset — how a multi-scan (progressive) parse resumes the marker
+      * walk after a scan's entropy segment. */
+    def endOfScan(): Int = {
+      cnt = 0
+      var p = pos
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val nxt = b(p + 1) & 0xff
+          if (nxt == 0x00) p += 2 // stuffed literal 0xFF data byte
+          else if (nxt >= 0xd0 && nxt <= 0xd7) p += 2 // trailing restart
+          else return p
+        } else p += 1
+      }
+      b.length
+    }
     /** Byte-align and consume an expected RSTn marker (n = 0..7). */
     def expectRestart(n: Int): Unit = {
       cnt = 0
@@ -493,12 +513,237 @@ object JpegCodec {
     }
   }
 
+  /** fDCT + quantize one 8×8 block of a (padded) plane; zigzag order. */
+  private def quantizedBlock(p: Plane, bx: Int, by: Int,
+      q: Array[Int]): Array[Int] = {
+    val blk = new Array[Int](64)
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        blk(yy * 8 + xx) = p.samples((by * 8 + yy) * p.w + bx * 8 + xx) - 128
+        xx += 1
+      }
+      yy += 1
+    }
+    val coef = fdct(blk)
+    val zq = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      zq(k) = quantize(coef(ZigZag(k)), q(ZigZag(k)))
+      k += 1
+    }
+    zq
+  }
+
+  /** Progressive (SOF2) scan script over precomputed coefficients — T.81
+    * Annex G procedures, encoder side. Scans: (1) interleaved DC first,
+    * Al=1; (2) per component, AC first over 1..63, Al=1; (3) interleaved
+    * DC refinement to Al=0; (4) per component, AC refinement to Al=0.
+    * Exercises all four entropy procedures a progressive decoder needs
+    * (DC first / DC refine / AC first with EOB / AC refine with
+    * correction bits). Interleaved scans walk MCU-padded block dims;
+    * non-interleaved AC scans walk the component's own ceil(w/8)×
+    * ceil(h/8) grid per G.1 — the padded grid's extra dummy blocks
+    * belong to interleaved scans only. */
+  private def writeProgressiveScans(out: java.io.ByteArrayOutputStream,
+      padded: Array[Plane], channels: Int,
+      qLum: Array[Int], qChrom: Array[Int],
+      width: Int, height: Int, hMax: Int, vMax: Int,
+      mcusX: Int, mcusY: Int,
+      dcLumEnc: Array[(Int, Int)], dcChromEnc: Array[(Int, Int)],
+      acLumEnc: Array[(Int, Int)], acChromEnc: Array[(Int, Int)]): Unit = {
+    // precompute all quantized blocks: comp -> (by * padBW + bx) -> zigzag
+    val padBW = new Array[Int](channels); val padBH = new Array[Int](channels)
+    val coefs = new Array[Array[Array[Int]]](channels)
+    var c = 0
+    while (c < channels) {
+      val p = padded(c)
+      padBW(c) = p.w / 8; padBH(c) = p.h / 8
+      val q = if (c == 0) qLum else qChrom
+      coefs(c) = Array.tabulate(padBW(c) * padBH(c))(i =>
+        quantizedBlock(p, i % padBW(c), i / padBW(c), q))
+      c += 1
+    }
+    // non-interleaved (per-component) block dims per T.81 A.2.2
+    def niBW(c: Int): Int =
+      ((width * padded(c).hs + hMax - 1) / hMax + 7) / 8
+    def niBH(c: Int): Int =
+      ((height * padded(c).vs + vMax - 1) / vMax + 7) / 8
+
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
+        ac: Boolean): Unit = {
+      val sos = new java.io.ByteArrayOutputStream()
+      sos.write(comps.length)
+      comps.foreach { c =>
+        sos.write(c + 1)
+        val tid = if (c == 0) 0 else 1
+        sos.write(if (ac) tid else tid << 4)
+      }
+      sos.write(ss); sos.write(se); sos.write((ah << 4) | al)
+      segment(out, 0xda, sos.toByteArray)
+    }
+
+    // ── scan 1: DC first, all components interleaved, Al=1 ──────────────
+    locally {
+      sosHeader(0 until channels, 0, 0, 0, 1, ac = false)
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](channels)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var c = 0
+          while (c < channels) {
+            val hs = padded(c).hs; val vs = padded(c).vs
+            var blk = 0
+            while (blk < hs * vs) {
+              val bx = mx * hs + blk % hs; val by = my * vs + blk / hs
+              val dc = coefs(c)(by * padBW(c) + bx)(0) >> 1 // point transform
+              val diff = dc - pred(c)
+              pred(c) = dc
+              val t = category(diff)
+              val (code, size) = (if (c == 0) dcLumEnc else dcChromEnc)(t)
+              bw.put(code, size)
+              if (t > 0)
+                bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+              blk += 1
+            }
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    // ── scans 2..: AC first per component, band 1..63, Al=1 ─────────────
+    var sc = 0
+    while (sc < channels) {
+      sosHeader(Seq(sc), 1, 63, 0, 1, ac = true)
+      val bw = new BitWriter(out)
+      val acT = if (sc == 0) acLumEnc else acChromEnc
+      val bwN = niBW(sc); val bhN = niBH(sc)
+      var bi = 0
+      while (bi < bwN * bhN) {
+        val zq = coefs(sc)((bi / bwN) * padBW(sc) + bi % bwN)
+        var run = 0
+        var k = 1
+        while (k <= 63) {
+          val t = math.abs(zq(k)) >> 1 // magnitude point transform
+          if (t == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zs) = acT(0xf0); bw.put(zc, zs); run -= 16
+            }
+            val sz = category(t)
+            val v = if (zq(k) < 0) -t else t
+            val (code, size) = acT((run << 4) | sz)
+            bw.put(code, size)
+            bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, es) = acT(0x00); bw.put(ec, es) } // EOB
+        bi += 1
+      }
+      bw.flush()
+      sc += 1
+    }
+    // ── DC refinement, all components interleaved, Ah=1 → Al=0 ──────────
+    locally {
+      sosHeader(0 until channels, 0, 0, 1, 0, ac = false)
+      val bw = new BitWriter(out)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var c = 0
+          while (c < channels) {
+            val hs = padded(c).hs; val vs = padded(c).vs
+            var blk = 0
+            while (blk < hs * vs) {
+              val bx = mx * hs + blk % hs; val by = my * vs + blk / hs
+              bw.put(coefs(c)(by * padBW(c) + bx)(0) & 1, 1)
+              blk += 1
+            }
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    // ── AC refinement per component, Ah=1 → Al=0 ─────────────────────────
+    sc = 0
+    while (sc < channels) {
+      sosHeader(Seq(sc), 1, 63, 1, 0, ac = true)
+      val bw = new BitWriter(out)
+      val acT = if (sc == 0) acLumEnc else acChromEnc
+      val bwN = niBW(sc); val bhN = niBH(sc)
+      val pending = new scala.collection.mutable.ArrayBuffer[Int]()
+      def flushPending(): Unit = {
+        pending.foreach(bit => bw.put(bit, 1)); pending.clear()
+      }
+      var bi = 0
+      while (bi < bwN * bhN) {
+        val zq = coefs(sc)((bi / bwN) * padBW(sc) + bi % bwN)
+        var run = 0
+        var k = 1
+        while (k <= 63) {
+          val a = math.abs(zq(k))
+          if (a == 0) run += 1
+          else {
+            // drain ZRLs at EVERY nonzero (T.81 G.1.2.3): the decoder's
+            // ZRL advance consumes exactly 16 zero-HISTORY positions,
+            // reading correction bits only for nonzeros interleaved
+            // within that span — so pending bits must be flushed at the
+            // span boundary, not accumulated across it.
+            while (run > 15) {
+              val (zc, zs) = acT(0xf0); bw.put(zc, zs); flushPending()
+              run -= 16
+            }
+            if ((a >> 1) != 0) pending += (a & 1) // already-nonzero: correction
+            else { // newly visible at this Al: |coef| == 1
+              val (code, size) = acT((run << 4) | 1)
+              bw.put(code, size)
+              bw.put(if (zq(k) > 0) 1 else 0, 1) // sign
+              flushPending()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || pending.nonEmpty) {
+          val (ec, es) = acT(0x00); bw.put(ec, es) // EOB (run length 1)
+          flushPending()
+        }
+        bi += 1
+      }
+      bw.flush()
+      sc += 1
+    }
+  }
+
   /** Encode a top-down interleaved raster (gray if channels=1, RGB if 3)
     * as baseline JFIF. `subsample420` applies 4:2:0 chroma subsampling
-    * (2×2 average, (a+b+c+d+2) div 4); ignored for grayscale. */
+    * (2×2 average, (a+b+c+d+2) div 4); ignored for grayscale.
+    *
+    * `progressive` writes an SOF2 stream instead (T.81 Annex G): the SAME
+    * quantized coefficients reordered into a spec-shaped scan script —
+    * interleaved DC-first (Al=1), per-component AC-first over the full
+    * 1..63 band (Al=1), interleaved DC refinement, per-component AC
+    * refinement — so a conforming decoder reconstructs pixels IDENTICAL
+    * to the baseline stream's (progressive is a lossless reordering).
+    * EOB runs are capped at 1 because the Annex K tables carry no EOBn
+    * (n>0) symbols; longer runs are a compression nicety, not a
+    * conformance requirement. */
   def encodeJpeg(width: Int, height: Int, channels: Int,
       samples: Array[Byte], quality: Int,
-      subsample420: Boolean = false): Array[Byte] = {
+      subsample420: Boolean = false,
+      progressive: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"jpeg: bad dims ${width}x$height")
     require(channels == 1 || channels == 3, s"jpeg: channels=$channels")
     require(samples.length == width * height * channels,
@@ -589,7 +834,7 @@ object JpegCodec {
       sof.write(if (ci == 0) 0 else 1) // quant table id
       ci += 1
     }
-    segment(out, 0xc0, sof.toByteArray)
+    segment(out, if (progressive) 0xc2 else 0xc0, sof.toByteArray)
     // DHT
     def dhtPayload(clazz: Int, id: Int, bits: Array[Int],
         vals: Array[Int]): Array[Byte] =
@@ -600,6 +845,13 @@ object JpegCodec {
     if (channels == 3) {
       segment(out, 0xc4, dhtPayload(0, 1, DcChromBits, DcChromVals))
       segment(out, 0xc4, dhtPayload(1, 1, AcChromBits, AcChromVals))
+    }
+    if (progressive) {
+      writeProgressiveScans(out, padded, channels, qLum, qChrom,
+        width, height, hMax, vMax, mcusX, mcusY,
+        dcLumEnc, dcChromEnc, acLumEnc, acChromEnc)
+      marker(out, 0xd9) // EOI
+      return out.toByteArray
     }
     // SOS
     val sos = new java.io.ByteArrayOutputStream()
@@ -620,23 +872,7 @@ object JpegCodec {
       val q = if (comp == 0) qLum else qChrom
       val dcT = if (comp == 0) dcLumEnc else dcChromEnc
       val acT = if (comp == 0) acLumEnc else acChromEnc
-      val blk = new Array[Int](64)
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          blk(yy * 8 + xx) = p.samples((by * 8 + yy) * p.w + bx * 8 + xx) - 128
-          xx += 1
-        }
-        yy += 1
-      }
-      val coef = fdct(blk)
-      val zq = new Array[Int](64)
-      var k = 0
-      while (k < 64) {
-        zq(k) = quantize(coef(ZigZag(k)), q(ZigZag(k)))
-        k += 1
-      }
+      val zq = quantizedBlock(p, bx, by, q)
       // DC
       val diff = zq(0) - dcPred(comp)
       dcPred(comp) = zq(0)
@@ -647,7 +883,7 @@ object JpegCodec {
         bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
       // AC
       var run = 0
-      k = 1
+      var k = 1
       var lastNz = 63
       while (lastNz > 0 && zq(lastNz) == 0) lastNz -= 1
       while (k <= lastNz) {
@@ -709,17 +945,207 @@ object JpegCodec {
     var scan: Array[(Int, Int, Int)] = null // (comp index, dc id, ac id)
     var scanStart = -1
 
+    // progressive (SOF2) state: per-component MCU-padded coefficient
+    // buffers accumulated across scans, IDCT'd once at EOI (Annex G)
+    var progressive = false
+    var progDone = false
+    var jumpTo = -1 // absolute resume offset after a progressive scan
+    var pPadBW: Array[Int] = null; var pPadBH: Array[Int] = null
+    var pCoef: Array[Array[Int]] = null // natural-order, per block ×64
+    var pMcusX = 0; var pMcusY = 0
+    var pHMax = 1; var pVMax = 1
+
     def u16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-    while (scanStart < 0) {
-      require(pos + 4 <= b.length, "jpeg: truncated marker stream")
+    /** Decode one progressive scan's entropy segment (T.81 G.2); returns
+      * the absolute offset of the marker that follows it. */
+    def decodeProgScan(dataOff: Int, dataLen: Int): Int = {
+      val ns = b(dataOff) & 0xff
+      require(ns >= 1 && ns <= comps.length, s"jpeg: bad scan Ns=$ns")
+      val sComps = Array.tabulate(ns) { i =>
+        val cid = b(dataOff + 1 + 2 * i) & 0xff
+        val tt = b(dataOff + 2 + 2 * i) & 0xff
+        val idx = comps.indexWhere(_.id == cid)
+        require(idx >= 0, s"jpeg: SOS references unknown component $cid")
+        (idx, tt >> 4, tt & 0x0f)
+      }
+      val ss = b(dataOff + 1 + 2 * ns) & 0xff
+      val se = b(dataOff + 2 + 2 * ns) & 0xff
+      val ahal = b(dataOff + 3 + 2 * ns) & 0xff
+      val ah = ahal >> 4; val al = ahal & 0x0f
+      require(al <= 13 && (ah == 0 || ah == al + 1),
+        s"jpeg: bad successive approximation Ah=$ah Al=$al")
+      val isDc = ss == 0
+      if (isDc) require(se == 0, "jpeg: DC scan must have Se=0")
+      else require(ns == 1 && ss <= se && se <= 63,
+        s"jpeg: bad AC band $ss..$se (AC scans are single-component)")
+      if (isDc && ah == 0) sComps.foreach { case (_, dcId, _) =>
+        require(dcTables(dcId) != null, "jpeg: scan references undefined " +
+          "Huffman table")
+      }
+      if (!isDc) sComps.foreach { case (_, _, acId) =>
+        require(acTables(acId) != null, "jpeg: scan references undefined " +
+          "Huffman table")
+      }
+      val br = new BitReader(b, dataOff + dataLen)
+      val pred = new Array[Int](ns)
+      var eobrun = 0
+      var rstN = 0
+
+      def dcBlock(ci: Int, si: Int, bx: Int, by: Int, dcId: Int): Unit = {
+        val buf = pCoef(ci); val off = (by * pPadBW(ci) + bx) * 64
+        if (ah == 0) {
+          val t = br.decodeHuff(dcTables(dcId))
+          require(t <= 15, s"jpeg: bad DC category $t")
+          pred(si) += extend(br.receive(t), t)
+          buf(off) = pred(si) * (1 << al)
+        } else if (br.readBit() == 1) buf(off) |= (1 << al)
+      }
+
+      def acFirstBlock(ci: Int, bx: Int, by: Int, acId: Int): Unit = {
+        val buf = pCoef(ci); val off = (by * pPadBW(ci) + bx) * 64
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decodeHuff(acTables(acId))
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "jpeg: AC run overruns band")
+            buf(off + ZigZag(k)) = extend(br.receive(s), s) * (1 << al)
+            k += 1
+          }
+        }
+      }
+
+      def acRefineBlock(ci: Int, bx: Int, by: Int, acId: Int): Unit = {
+        val buf = pCoef(ci); val off = (by * pPadBW(ci) + bx) * 64
+        val p1 = 1 << al; val m1 = -p1
+        def correct(z: Int): Unit =
+          if (br.readBit() == 1 && (buf(z) & p1) == 0)
+            buf(z) += (if (buf(z) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.decodeHuff(acTables(acId))
+            var r = rs >> 4; val s = rs & 0x0f
+            var newVal = 0
+            if (s == 0) {
+              if (r != 15) { // EOBn: current block's tail handled below
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.receive(r)
+                done = true
+              } // r == 15: ZRL — skip 16 zero-history coefficients
+            } else {
+              require(s == 1, "jpeg: AC refinement magnitude must be 1")
+              newVal = if (br.readBit() == 1) p1 else m1
+            }
+            if (!done) {
+              // advance over r zero-HISTORY coefficients, emitting
+              // correction bits for every nonzero passed on the way
+              var brk = false
+              while (k <= se && !brk) {
+                val z = off + ZigZag(k)
+                if (buf(z) != 0) { correct(z); k += 1 }
+                else if (r == 0) brk = true
+                else { r -= 1; k += 1 }
+              }
+              if (newVal != 0) {
+                require(k <= se, "jpeg: refinement overruns band")
+                buf(off + ZigZag(k)) = newVal
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) { // rest of band: correction bits only
+          while (k <= se) {
+            val z = off + ZigZag(k)
+            if (buf(z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def doBlock(ci: Int, si: Int, bx: Int, by: Int): Unit =
+        if (isDc) dcBlock(ci, si, bx, by, sComps(si)._2)
+        else if (ah == 0) acFirstBlock(ci, bx, by, sComps(si)._3)
+        else acRefineBlock(ci, bx, by, sComps(si)._3)
+
+      def restartIfDue(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.expectRestart(rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (ns > 1) { // interleaved (DC) scan: MCU order over padded dims
+        var unit = 0
+        var my = 0
+        while (my < pMcusY) {
+          var mx = 0
+          while (mx < pMcusX) {
+            restartIfDue(unit); unit += 1
+            var si = 0
+            while (si < ns) {
+              val ci = sComps(si)._1
+              val hs = comps(ci).hs; val vs = comps(ci).vs
+              var blk = 0
+              while (blk < hs * vs) {
+                doBlock(ci, si, mx * hs + blk % hs, my * vs + blk / hs)
+                blk += 1
+              }
+              si += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own block raster (A.2.2)
+        val ci = sComps(0)._1
+        val hs = if (comps.length == 1) 1 else comps(ci).hs
+        val vs = if (comps.length == 1) 1 else comps(ci).vs
+        val bwN = ((width * hs + pHMax - 1) / pHMax + 7) / 8
+        val bhN = ((height * vs + pVMax - 1) / pVMax + 7) / 8
+        var bi = 0
+        while (bi < bwN * bhN) {
+          restartIfDue(bi)
+          doBlock(ci, 0, bi % bwN, bi / bwN)
+          bi += 1
+        }
+      }
+      val end = br.endOfScan()
+      require(end < b.length, "jpeg: entropy stream ran past end of data")
+      end
+    }
+
+    while (scanStart < 0 && !progDone) {
+      // 2 bytes suffice for standalone markers (EOI ends a progressive
+      // frame with nothing after it); segment markers re-check for their
+      // length field below
+      require(pos + 2 <= b.length, "jpeg: truncated marker stream")
       require((b(pos) & 0xff) == 0xff, f"jpeg: expected marker at byte $pos")
       val m = b(pos + 1) & 0xff
       pos += 2
       m match {
         case 0xd8 => // stray SOI — ignore
         case 0x01 => // TEM, standalone
+        case 0xd9 => // EOI: terminates a progressive frame
+          require(progressive, "jpeg: EOI before scan data")
+          progDone = true
         case _ =>
+          require(pos + 2 <= b.length, "jpeg: truncated marker stream")
           val len = u16(pos)
           require(len >= 2 && pos + len <= b.length,
             f"jpeg: segment 0xFF$m%02X overruns payload")
@@ -753,7 +1179,7 @@ object JpegCodec {
                 if (clazz == 0) dcTables(id) = t else acTables(id) = t
                 o += 17 + n
               }
-            case 0xc0 | 0xc1 => // SOF0/1: baseline (extended sequential ok)
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
               require(comps == null, "jpeg: duplicate SOF")
               require((b(dataOff) & 0xff) == 8, "jpeg: only 8-bit precision")
               height = u16(dataOff + 1); width = u16(dataOff + 3)
@@ -770,8 +1196,27 @@ object JpegCodec {
                 require(fc.hs >= 1 && fc.hs <= 2 && fc.vs >= 1 && fc.vs <= 2,
                   s"jpeg: sampling ${fc.hs}x${fc.vs} unsupported (1 or 2 only)")
               }
-            case 0xc2 => throw new IllegalArgumentException(
-              "jpeg: progressive (SOF2) not supported — baseline only")
+              if (m == 0xc2) {
+                progressive = true
+                pHMax = comps.map(_.hs).max
+                pVMax = comps.map(_.vs).max
+                if (nc == 1) {
+                  pMcusX = (width + 7) / 8; pMcusY = (height + 7) / 8
+                } else {
+                  pMcusX = (width + 8 * pHMax - 1) / (8 * pHMax)
+                  pMcusY = (height + 8 * pVMax - 1) / (8 * pVMax)
+                }
+                pPadBW = new Array[Int](nc); pPadBH = new Array[Int](nc)
+                pCoef = new Array[Array[Int]](nc)
+                var i = 0
+                while (i < nc) {
+                  val (hs, vs) =
+                    if (nc == 1) (1, 1) else (comps(i).hs, comps(i).vs)
+                  pPadBW(i) = pMcusX * hs; pPadBH(i) = pMcusY * vs
+                  pCoef(i) = new Array[Int](pPadBW(i) * pPadBH(i) * 64)
+                  i += 1
+                }
+              }
             case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
               throw new IllegalArgumentException(
                 f"jpeg: unsupported frame type 0xFF$x%02X — baseline only")
@@ -779,21 +1224,61 @@ object JpegCodec {
               restartInterval = u16(dataOff)
             case 0xda => // SOS
               require(comps != null, "jpeg: SOS before SOF")
-              val ns = b(dataOff) & 0xff
-              require(ns == comps.length,
-                "jpeg: partial (non-interleaved multi-scan) scans unsupported")
-              scan = Array.tabulate(ns) { i =>
-                val cid = b(dataOff + 1 + 2 * i) & 0xff
-                val tt = b(dataOff + 2 + 2 * i) & 0xff
-                val idx = comps.indexWhere(_.id == cid)
-                require(idx >= 0, s"jpeg: SOS references unknown component $cid")
-                (idx, tt >> 4, tt & 0x0f)
+              if (progressive) {
+                jumpTo = decodeProgScan(dataOff, dataLen)
+              } else {
+                val ns = b(dataOff) & 0xff
+                require(ns == comps.length,
+                  "jpeg: partial (non-interleaved multi-scan) scans unsupported")
+                scan = Array.tabulate(ns) { i =>
+                  val cid = b(dataOff + 1 + 2 * i) & 0xff
+                  val tt = b(dataOff + 2 + 2 * i) & 0xff
+                  val idx = comps.indexWhere(_.id == cid)
+                  require(idx >= 0, s"jpeg: SOS references unknown component $cid")
+                  (idx, tt >> 4, tt & 0x0f)
+                }
+                scanStart = dataOff + 1 + 2 * ns + 3
               }
-              scanStart = dataOff + 1 + 2 * ns + 3
             case _ => // APPn, COM, others: skip
           }
           pos += len
+          if (jumpTo >= 0) { pos = jumpTo; jumpTo = -1 }
       }
+    }
+
+    if (progressive) { // dequantize + inverse-transform the accumulated
+      val nc = comps.length // coefficients, then assemble like baseline
+      val planeW = Array.tabulate(nc)(pPadBW(_) * 8)
+      val planes = new Array[Array[Int]](nc)
+      val tmp = new Array[Int](64)
+      var ci = 0
+      while (ci < nc) {
+        val q = quant(comps(ci).tq)
+        require(q != null, "jpeg: component references undefined quant table")
+        planes(ci) = new Array[Int](planeW(ci) * pPadBH(ci) * 8)
+        val buf = pCoef(ci); val pw = planeW(ci)
+        var bi = 0
+        while (bi < pPadBW(ci) * pPadBH(ci)) {
+          val off = bi * 64
+          var j = 0
+          while (j < 64) { tmp(j) = buf(off + j) * q(j); j += 1 }
+          val px = idct(tmp)
+          val bx = bi % pPadBW(ci); val by = bi / pPadBW(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bi += 1
+        }
+        ci += 1
+      }
+      return assemblePixels(width, height, nc, comps, pHMax, pVMax,
+        planeW, planes)
     }
 
     val nc = comps.length
@@ -892,7 +1377,15 @@ object JpegCodec {
       my += 1
     }
 
-    // assemble output: crop to true dims, upsample chroma by replication
+    assemblePixels(width, height, nc, comps, hMax, vMax, planeW, planes)
+  }
+
+  /** Crop decoded planes to true dims; upsample chroma by replication and
+    * color-convert for 3-component frames. Shared by the baseline and
+    * progressive decode paths. */
+  private def assemblePixels(width: Int, height: Int, nc: Int,
+      comps: Array[FrameComp], hMax: Int, vMax: Int,
+      planeW: Array[Int], planes: Array[Array[Int]]): DecodedImage =
     if (nc == 1) {
       val out = new Array[Int](width * height)
       var y = 0
@@ -927,7 +1420,6 @@ object JpegCodec {
       }
       DecodedImage(width, height, 3, out)
     }
-  }
 
   // ── deterministic block-constant fixtures (oracle-replayable) ───────────
 
@@ -991,12 +1483,28 @@ object JpegCodec {
     encodeJpeg(tilesW * 16, tilesH * 16, 3,
       colorTileRaster(text.toString, tilesW, tilesH), quality,
       subsample420 = true)
+
+  def encodeGrayBlocksJpegProgressive(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      blocksW: Int, blocksH: Int, quality: Int): Array[Byte] =
+    encodeJpeg(blocksW * 8, blocksH * 8, 1,
+      grayBlockRaster(text.toString, blocksW, blocksH), quality,
+      progressive = true)
+
+  def encodeColorTilesJpegProgressive(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      tilesW: Int, tilesH: Int, quality: Int): Array[Byte] =
+    encodeJpeg(tilesW * 16, tilesH * 16, 3,
+      colorTileRaster(text.toString, tilesW, tilesH), quality,
+      subsample420 = true, progressive = true)
 }
 
-/** Text → block-constant baseline JFIF payload (gray if `color` is false,
-  * 4:2:0 YCbCr if true); codegen'd via static forwarders. */
+/** Text → block-constant JFIF payload (gray if `color` is false, 4:2:0
+  * YCbCr if true; SOF2 multi-scan stream if `progressive`); codegen'd
+  * via static forwarders. */
 case class EncodeJpegFixture(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    blocksW: Int, blocksH: Int, quality: Int, color: Boolean)
+    blocksW: Int, blocksH: Int, quality: Int, color: Boolean,
+    progressive: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.types.{BinaryType, DataType}
@@ -1004,19 +1512,25 @@ case class EncodeJpegFixture(child: org.apache.spark.sql.catalyst.expressions.Ex
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "encode_jpeg_fixture"
-  override protected def nullSafeEval(input: Any): Any =
-    if (color)
-      JpegCodec.encodeColorTilesJpeg(input.asInstanceOf[UTF8String],
-        blocksW, blocksH, quality)
-    else
-      JpegCodec.encodeGrayBlocksJpeg(input.asInstanceOf[UTF8String],
-        blocksW, blocksH, quality)
+  private def encodeName =
+    (if (color) "encodeColorTilesJpeg" else "encodeGrayBlocksJpeg") +
+      (if (progressive) "Progressive" else "")
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    (color, progressive) match {
+      case (false, false) =>
+        JpegCodec.encodeGrayBlocksJpeg(t, blocksW, blocksH, quality)
+      case (true, false) =>
+        JpegCodec.encodeColorTilesJpeg(t, blocksW, blocksH, quality)
+      case (false, true) =>
+        JpegCodec.encodeGrayBlocksJpegProgressive(t, blocksW, blocksH, quality)
+      case (true, true) =>
+        JpegCodec.encodeColorTilesJpegProgressive(t, blocksW, blocksH, quality)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      if (color)
-        s"graft.functions.JpegCodec.encodeColorTilesJpeg($c, $blocksW, $blocksH, $quality)"
-      else
-        s"graft.functions.JpegCodec.encodeGrayBlocksJpeg($c, $blocksW, $blocksH, $quality)")
+      s"graft.functions.JpegCodec.$encodeName($c, $blocksW, $blocksH, $quality)")
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): EncodeJpegFixture =
     copy(child = c)
@@ -1034,4 +1548,12 @@ object JpegExprs {
       quality: Int): Column =
     ColumnBridge.column(EncodeJpegFixture(ColumnBridge.expression(text),
       tilesW, tilesH, quality, color = true))
+  def encodeJpegGrayBlocksProgressive(text: Column, blocksW: Int,
+      blocksH: Int, quality: Int): Column =
+    ColumnBridge.column(EncodeJpegFixture(ColumnBridge.expression(text),
+      blocksW, blocksH, quality, color = false, progressive = true))
+  def encodeJpegColorTilesProgressive(text: Column, tilesW: Int,
+      tilesH: Int, quality: Int): Column =
+    ColumnBridge.column(EncodeJpegFixture(ColumnBridge.expression(text),
+      tilesW, tilesH, quality, color = true, progressive = true))
 }

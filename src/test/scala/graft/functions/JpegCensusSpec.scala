@@ -42,11 +42,22 @@ class JpegCensusSpec extends AnyFunSuite {
     assert(eoi)
   }
 
-  test("the pixel decoder still refuses SOF2 loudly (census is the path)") {
+  test("the census fixture is a MARKER-layer artifact: its filler entropy " +
+      "still fails the real SOF2 pixel decoder loudly (census is the path " +
+      "for it), while genuine progressive streams now decode") {
+    // round 13: decodeJpeg gained full Annex G progressive support, so
+    // SOF2 alone no longer rejects — but this fixture's entropy is
+    // deterministic filler, not Huffman-coded data, and the decoder must
+    // stay loud on it rather than return garbage pixels
     val e = intercept[IllegalArgumentException] {
       JpegCodec.decodeJpeg(JpegCensus.buildProgressive(5L))
     }
-    assert(e.getMessage.contains("progressive"))
+    assert(e.getMessage.contains("jpeg"))
+    // a REAL progressive stream decodes (full coverage in JpegCodecSpec)
+    val real = JpegCodec.encodeJpeg(16, 8, 1,
+      Array.tabulate[Byte](128)(i => (i * 3).toByte), 75, progressive = true)
+    assert(JpegCensus.census(real).getBoolean(0)) // is_progressive
+    assert(JpegCodec.decodeJpeg(real).width === 16)
   }
 
   test("census fails loudly on structural corruption") {

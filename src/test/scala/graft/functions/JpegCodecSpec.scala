@@ -125,18 +125,123 @@ class JpegCodecSpec extends AnyFunSuite {
     val hi = JpegCodec.encodeJpeg(64, 64, 1, raster, 90)
     val lo = JpegCodec.encodeJpeg(64, 64, 1, raster, 20)
     assert(lo.length < hi.length)
-    // progressive is rejected by name, not mis-decoded: synthesize a
-    // stream whose SOF0 is patched to SOF2
+    // a baseline scan script mislabeled SOF2 is MALFORMED progressive
+    // (Ss=0 demands Se=0 per G.1) — loud error, never garbage pixels
     val sof0 = hi.indexOfSlice(Seq[Byte](0xff.toByte, 0xc0.toByte))
     assert(sof0 > 0)
     val prog = hi.clone(); prog(sof0 + 1) = 0xc2.toByte
     val e1 = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(prog))
-    assert(e1.getMessage.contains("progressive"))
+    assert(e1.getMessage.contains("DC scan"))
     // truncated entropy data fails loudly
     val e2 = intercept[IllegalArgumentException](
       JpegCodec.decodeJpeg(hi.take(hi.length - 30)))
     assert(e2.getMessage.contains("jpeg"))
     // and the family dispatcher routes JPEG magic here
     assert(ImageCodec.decode(hi).width === 64)
+  }
+
+  // ── progressive (SOF2, T.81 Annex G) ────────────────────────────────────
+
+  private def hasSof2(b: Array[Byte]): Boolean =
+    b.indexOfSlice(Seq[Byte](0xff.toByte, 0xc2.toByte)) > 0
+
+  test("progressive reorders losslessly: SOF2 streams decode to pixels " +
+      "IDENTICAL to the baseline stream of the same raster") {
+    val rng = new scala.util.Random(19)
+    for ((w, h) <- Seq((24, 16), (21, 11))) {
+      val gray = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+      val base = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, 1, gray, 85))
+      val pj = JpegCodec.encodeJpeg(w, h, 1, gray, 85, progressive = true)
+      assert(hasSof2(pj), s"${w}x$h gray: no SOF2 marker")
+      val pd = JpegCodec.decodeJpeg(pj)
+      assert(pd.pixels.toSeq === base.pixels.toSeq, s"${w}x$h gray")
+      val color = Array.fill[Byte](w * h * 3)(rng.nextInt(256).toByte)
+      for (sub <- Seq(false, true)) {
+        val cb = JpegCodec.decodeJpeg(
+          JpegCodec.encodeJpeg(w, h, 3, color, 85, subsample420 = sub))
+        val cpj = JpegCodec.encodeJpeg(w, h, 3, color, 85,
+          subsample420 = sub, progressive = true)
+        assert(hasSof2(cpj))
+        assert(JpegCodec.decodeJpeg(cpj).pixels.toSeq === cb.pixels.toSeq,
+          s"${w}x$h color sub=$sub")
+      }
+    }
+  }
+
+  test("ImageIO decodes our progressive streams bit-identically (proves " +
+      "the SOF2 bitstream is standards-conforming)") {
+    val rng = new scala.util.Random(23)
+    val (w, h) = (24, 16)
+    val gray = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+    val gj = JpegCodec.encodeJpeg(w, h, 1, gray, 85, progressive = true)
+    assert(grayOf(iioRead(gj), w, h).toSeq ===
+      JpegCodec.decodeJpeg(gj).pixels.toSeq)
+    val color = Array.fill[Byte](w * h * 3)(rng.nextInt(256).toByte)
+    val cj = JpegCodec.encodeJpeg(w, h, 3, color, 85, subsample420 = false,
+      progressive = true)
+    assert(rgbOf(iioRead(cj), w, h).toSeq ===
+      JpegCodec.decodeJpeg(cj).pixels.toSeq)
+  }
+
+  test("we decode ImageIO-written progressive JPEG (independent encoder, " +
+      "multi-band scan script with EOB runs) bit-identically to ImageIO") {
+    import javax.imageio.{ImageWriteParam, IIOImage}
+    def iioProgressive(src: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val (w, h) = (40, 28) // big enough for nontrivial EOB runs
+    val gsrc = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gsrc.getRaster.setSample(x, y, 0, (x * 9 + y * 13 + (x * y) % 7) % 256)
+    val gp = iioProgressive(gsrc)
+    assert(hasSof2(gp), "JDK writer did not emit SOF2")
+    val gd = JpegCodec.decodeJpeg(gp)
+    assert(gd.width === w && gd.height === h && gd.channels === 1)
+    assert(grayOf(iioRead(gp), w, h).toSeq === gd.pixels.toSeq)
+    // color: the JDK writer emits 4:2:0, and the JDK DECODER upsamples
+    // 4:2:0 chroma by triangular interpolation ("fancy upsampling")
+    // where we use replication — a presentation choice, not an entropy
+    // difference. Isolate the progressive entropy path instead: the
+    // writer's baseline and progressive streams carry IDENTICAL
+    // quantized coefficients, so OUR decode of both must agree pixel
+    // for pixel (same upsampler on both sides).
+    val csrc = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      csrc.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 29 + x) % 256 << 8)
+        | ((x * y + 11) % 256))
+    val cp = iioProgressive(csrc)
+    assert(hasSof2(cp))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(csrc, "jpg", bos))
+    val cbase = bos.toByteArray
+    assert(!hasSof2(cbase))
+    val cd = JpegCodec.decodeJpeg(cp)
+    assert(cd.channels === 3)
+    assert(JpegCodec.decodeJpeg(cbase).pixels.toSeq === cd.pixels.toSeq)
+  }
+
+  test("progressive gray block-constant fixture decodes to the SAME " +
+      "closed DC form as the baseline fixture (the m55 oracle)") {
+    val text = "the quick brown fox JUMPS over 13 lazy dogs!"
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(text)
+    val base = JpegCodec.decodeJpeg(
+      JpegCodec.encodeGrayBlocksJpeg(u, 4, 4, 50))
+    val pj = JpegCodec.encodeGrayBlocksJpegProgressive(u, 4, 4, 50)
+    assert(hasSof2(pj))
+    assert(JpegCodec.decodeJpeg(pj).pixels.toSeq === base.pixels.toSeq)
+    val cbase = JpegCodec.decodeJpeg(
+      JpegCodec.encodeColorTilesJpeg(u, 2, 2, 50))
+    val cpj = JpegCodec.encodeColorTilesJpegProgressive(u, 2, 2, 50)
+    assert(hasSof2(cpj))
+    assert(JpegCodec.decodeJpeg(cpj).pixels.toSeq === cbase.pixels.toSeq)
   }
 }
