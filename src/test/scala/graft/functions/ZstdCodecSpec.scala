@@ -74,6 +74,36 @@ class ZstdCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("xxh64 agrees with the INDEPENDENT lz4-java implementation " +
+      "across all length classes and seeds (round-13 triangulation)") {
+    // lz4-java ships on the Spark classpath; its XXHash64 is a separate
+    // implementation of the same public spec — disagreement anywhere
+    // means our from-spec port is wrong even if self-consistent
+    val jni = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().hash64()
+    for (len <- Seq(0, 1, 3, 4, 5, 7, 8, 9, 16, 31, 32, 33, 63, 64, 127,
+        1000, 65536); seed <- Seq(0L, 1L, 0x123456789ABCDEFL)) {
+      val buf = prBytes(len, len * 31 + seed)
+      assert(ZstdCodec.xxh64(buf, 0, len, seed) ===
+        jni.hash(buf, 0, len, seed), s"len=$len seed=$seed")
+    }
+  }
+
+  test("zstd-jni (the reference C implementation) decodes our frames " +
+      "bit-identically — RAW, RLE, multi-block (round-13 triangulation)") {
+    val inputs = Seq(
+      prBytes(10000, 7L),
+      Array.fill(5000)('z'.toByte),
+      prBytes(200000, 11L), // multi-block RAW
+      ("head" + "q" * 5000 + "tail").getBytes("UTF-8"),
+      "shard line one\nshard line two\n".getBytes("UTF-8"),
+      Array.emptyByteArray)
+    for (src <- inputs) {
+      val f = ZstdCodec.compressFrame(src)
+      val back = com.github.luben.zstd.Zstd.decompress(f, src.length)
+      assert(back.toSeq === src.toSeq, s"zstd-jni reject at n=${src.length}")
+    }
+  }
+
   test("loud failures: magic, checksum, compressed-block seam, dict") {
     val f = ZstdCodec.compressFrame("payload data here".getBytes("UTF-8"))
     val badMagic = f.clone(); badMagic(0) = 0x29
