@@ -45,7 +45,13 @@ object Round44Queries {
   }
 
   // ── q96: ascending spend ranking via the distributed global rank;
-  //        the Gini sum and its normalizer stay in exact cents. ─────────
+  //        the Gini sum and its normalizer stay in exact cents. The wide
+  //        products ride in DECIMAL(38,0): at sf1 the round-13 gate
+  //        caught `(wsum − n·total_c) · 10⁴` overflowing BIGINT (wsum
+  //        itself is ~n²·avg_spend ≈ 2×10¹⁸ there, and the bp scaling
+  //        pushes past 2⁶³) — the oracle mirrors with HUGEINT. The
+  //        numerator is ≥ 0 (Gini is non-negative), so truncating and
+  //        flooring integer division agree. ─────────────────────────────
   def q96_gini_spend(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -55,10 +61,12 @@ object Round44Queries {
       col("spend_c").asc, col("o_custkey"))
     val stats = ranked.agg(count(lit(1)).as("n"),
       sum(col("spend_c")).as("total_c"),
-      sum((col("p") * 2 - lit(1)) * col("spend_c")).as("wsum"))
+      sum(((col("p") * 2 - lit(1)) * col("spend_c"))
+        .cast(DecimalType(38, 0))).as("wsum"))
     // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, so wsum rides in one aggregate
     stats.select(col("n").as("n_customers"), col("total_c"),
-      expr("(wsum - n * total_c) * 10000 div (n * total_c)")
+      expr("CAST((wsum - CAST(n AS DECIMAL(38,0)) * total_c) * 10000" +
+        " DIV (CAST(n AS DECIMAL(38,0)) * total_c) AS BIGINT)")
         .as("gini_bp"))
   }
 
@@ -109,10 +117,11 @@ object Round44Queries {
         |st AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(spend_c) AS BIGINT) AS total_c,
-        |    CAST(SUM((p * 2 - 1) * spend_c) AS BIGINT) AS wsum
+        |    SUM(CAST((p * 2 - 1) * spend_c AS HUGEINT)) AS wsum
         |  FROM rk)
         |SELECT n AS n_customers, total_c,
-        |  (wsum - n * total_c) * 10000 // (n * total_c) AS gini_bp
+        |  CAST((wsum - CAST(n AS HUGEINT) * total_c) * 10000
+        |    // (CAST(n AS HUGEINT) * total_c) AS BIGINT) AS gini_bp
         |FROM st""".stripMargin,
     "t30_source_diversity" ->
       """WITH bl AS (
