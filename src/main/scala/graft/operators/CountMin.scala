@@ -83,10 +83,16 @@ object CountMin {
     * set by construction); false positives occur at ~occupancy^d. The
     * 100 TB use is the membership gate a pipeline ships instead of the
     * key set itself — kilobytes of cells versus a join against the full
-    * dimension. Returns (k, bloom_hit). */
+    * dimension. Returns (k, bloom_hit), one row per DISTINCT probe key:
+    * the per-key hit test is `count(hit) = d`, so a probe with repeated
+    * keys must collapse them first — the round-13 sf1 gate caught
+    * exactly this (duplicate batch texts → duplicate fingerprints →
+    * count 2d/3d per key → true duplicates reading bloom_hit=false;
+    * invisible at small scale where batch keys happen to be unique). */
   def membership(probe: DataFrame, cells: DataFrame,
       family: Seq[(Long, Long)], w: Int): DataFrame =
-    probe.select(col("k"), posexplode(array(family.map { case (a, b) =>
+    probe.select(col("k")).distinct()
+      .select(col("k"), posexplode(array(family.map { case (a, b) =>
         bucket(col("k"), a, b, w) }: _*)).as(Seq("i", "b")))
       .join(cells.select(col("i"), col("b"), lit(1).as("hit")),
         Seq("i", "b"), "left")
