@@ -71,26 +71,49 @@ object Round76Queries {
     val prefix = ranked.filter(
       col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
     // one orientation suffices: for any qualifying unordered pair the
-    // SMALLER doc's prefix row meets the larger doc's full posting row
-    // (ties match in either orientation; distinct() collapses them)
+    // SMALLER doc's prefix row meets the larger doc's posting row
+    // (ties match in either orientation; distinct() collapses them).
+    // Round-13 positional filter (the PPJoin lemma, Xiao et al. 2008,
+    // adapted to containment): for the FIRST shared shingle under the
+    // global (df, shingle) order, BOTH docs' suffix-from-here must
+    // still cover the required overlap — n − rk + 1 ≥ ceil(0.8·min) on
+    // each side (the a-side inequality is exactly prefix membership;
+    // the b-side one is new). Lossless for the same reason the prefix
+    // bound is: all of the intersection lies at-or-after its first
+    // element in both rankings. On a tiny-vocabulary corpus this is
+    // the difference between Σ df·df_prefix and Σ df_prefix² candidate
+    // rows — the r13 sf1 re-time measured the one-sided form at 242 s.
     val candidates = prefix.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") =!= col("b.doc_id") && col("a.n") <= col("b.n"))
+          col("a.doc_id") =!= col("b.doc_id") && col("a.n") <= col("b.n") &&
+          col("b.rk") <=
+            col("b.n") - expr("(4 * a.n + 4) div 5") + lit(1))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    // exact intersection, candidates only (two-key equi-joins — the
-    // per-candidate explode is bounded by the candidate count)
+    // exact intersection, candidates only. Round-13 re-design: the
+    // candidate⋈postings⋈postings chain pushed every candidate pair
+    // back through the 2.6M-row posting table (~1.1B join rows at sf1
+    // for 21M candidates). The per-doc shingle SET is tiny (~50
+    // entries), so verification is two equi-joins against the compact
+    // doc-array table plus a codegen'd array_intersect per pair — work
+    // proportional to candidates·|doc|, not candidates·df. The array
+    // table is ~50k rows (megabytes) and broadcasts at this scale; at
+    // corpus sizes where it no longer fits an executor, dropping the
+    // hint degrades gracefully to a shuffle join on doc_id — still
+    // never the posting-explode shape.
+    val docArr = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("arr"),
+        count(lit(1)).as("n"))
     val inter = candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter_sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(broadcast(docArr.select(col("doc_id").as("id_a"),
+        col("arr").as("arr_a"), col("n").as("na"))), Seq("id_a"))
+      .join(broadcast(docArr.select(col("doc_id").as("id_b"),
+        col("arr").as("arr_b"), col("n").as("nb"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast("bigint").as("inter_sh"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("inter_sh"), col("na"), col("nb"),
         expr("(inter_sh * 10000) div na").as("cont_ab_bp"),
         expr("(inter_sh * 10000) div nb").as("cont_ba_bp"),
