@@ -6,6 +6,34 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = run(args)
 
+  /** Reads back the flat string→string JSON object this file's own `q`
+    * escaper writes (errors.json) — resume seeding only, not a general
+    * JSON parser. */
+  private[graft] def parseFlatJson(s: String): Seq[(String, String)] = {
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    def unesc(x: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (c == '\\' && i + 1 < x.length) {
+          x.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' if i + 6 <= x.length =>
+              sb += Integer.parseInt(x.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case o => sb += o; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.result()
+    }
+    pair.findAllMatchIn(s).map(m => unesc(m.group(1)) -> unesc(m.group(2)))
+      .toSeq
+  }
+
   /** Test-visible body: `extraQueries` lets a spec inject a pathological
     * entry (e.g. a deliberate sleeper pinning the watchdog contract) and
     * `stopSession` lets it keep the shared test session alive. */
@@ -137,6 +165,18 @@ object Verify {
     // exists is skipped. Off by default: a normal gate run must always
     // re-execute everything.
     val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
+    // Resume seeding (r13 advisor): errors.json is rewritten whole at the
+    // end of every run, so a resumed run that skips already-dumped names
+    // would silently DROP their recorded failures from the index. Seed
+    // the map from the prior file; a name that actually re-runs this
+    // time has its stale entry cleared before the run re-decides it.
+    if (resume) {
+      val ef = Paths.get(s"$outDir/errors.json")
+      if (Files.exists(ef))
+        parseFlatJson(Files.readString(ef)).foreach {
+          case (k, v) => errors(k) = v
+        }
+    }
     // Open-fd diagnostic: log the process's descriptor count every 25
     // queries, so a leak that ends in EMFILE-shaped "Mkdirs failed"
     // I/O failures is visible in the artifact log instead of guessed at.
@@ -149,6 +189,7 @@ object Verify {
       if (selected(name) &&
           !(resume && Files.exists(Paths.get(s"$outDir/$name")))) {
         ran += 1
+        errors.remove(name) // a re-run name's fate is re-decided this run
         if (ran % 25 == 0)
           System.err.println(s"[verify] progress: $ran run, open fds: " +
             fdCount())
@@ -158,11 +199,18 @@ object Verify {
           import spark.implicits._
           // the fallback err-parquet write must NEVER kill the dump run:
           // if the filesystem itself is failing (the r13 sf1 crash), a
-          // throw here would lose every later query's result
-          try
+          // throw here would lose every later query's result. Same
+          // tmp-slot + atomic-move protocol as the success path (r13
+          // advisor): a crash mid-write must not leave a partial graded
+          // dir that a resumed run then skips as finished.
+          try {
+            val errTmp = s"$outDir/.tmp-err-$name"
             Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+              .parquet(errTmp)
+            val dst = Paths.get(s"$outDir/$name")
+            deleteRecursively(dst)
+            Files.move(Paths.get(errTmp), dst)
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name: err-parquet write also " +
               s"failed (${e.getClass.getSimpleName}); errors.json still " +
               "records the failure")

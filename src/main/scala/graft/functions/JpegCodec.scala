@@ -952,6 +952,10 @@ object JpegCodec {
     var jumpTo = -1 // absolute resume offset after a progressive scan
     var pPadBW: Array[Int] = null; var pPadBH: Array[Int] = null
     var pCoef: Array[Array[Int]] = null // natural-order, per block ×64
+    // per-component, per-coefficient point-transform progression: -1 =
+    // not yet established by a first scan, else the Al it currently
+    // stands at (r13 advisor: refinement gaps must error, not garble)
+    var pProg: Array[Array[Int]] = null
     var pMcusX = 0; var pMcusY = 0
     var pHMax = 1; var pVMax = 1
 
@@ -986,6 +990,34 @@ object JpegCodec {
       if (!isDc) sComps.foreach { case (_, _, acId) =>
         require(acTables(acId) != null, "jpeg: scan references undefined " +
           "Huffman table")
+      }
+      // Scan-script progression audit (T.81 G.1.1.1.1; r13 advisor):
+      // every coefficient must be ESTABLISHED by a first scan (Ah=0)
+      // before any refinement, each refinement must descend exactly one
+      // bit from the coefficient's current point transform (Ah equal to
+      // the previously decoded Al), and a component's AC scans must
+      // follow its DC first scan. Without this, a refinement scan with
+      // no matching predecessor decodes silently to wrong pixels —
+      // violating the loud-error-never-garbage policy for malformed
+      // streams. Conforming scan scripts are unaffected.
+      sComps.foreach { case (ci, _, _) =>
+        val st = pProg(ci)
+        if (!isDc) require(st(0) >= 0,
+          s"jpeg: AC scan for component $ci before its DC first scan")
+        var k = if (isDc) 0 else ss
+        val kEnd = if (isDc) 0 else se
+        while (k <= kEnd) {
+          if (ah == 0)
+            require(st(k) == -1, s"jpeg: duplicate first scan for " +
+              s"component $ci coefficient $k (already at Al=${st(k)})")
+          else
+            require(st(k) == ah, s"jpeg: refinement gap for component " +
+              s"$ci coefficient $k: scan refines from Ah=$ah but the " +
+              (if (st(k) < 0) "coefficient has no first scan"
+               else s"coefficient stands at Al=${st(k)}"))
+          st(k) = al
+          k += 1
+        }
       }
       val br = new BitReader(b, dataOff + dataLen)
       val pred = new Array[Int](ns)
@@ -1208,6 +1240,7 @@ object JpegCodec {
                 }
                 pPadBW = new Array[Int](nc); pPadBH = new Array[Int](nc)
                 pCoef = new Array[Array[Int]](nc)
+                pProg = Array.fill(nc)(Array.fill(64)(-1))
                 var i = 0
                 while (i < nc) {
                   val (hs, vs) =

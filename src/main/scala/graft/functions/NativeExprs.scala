@@ -216,6 +216,54 @@ object NativeVec {
     new GenericArrayData(out)
   }
 
+  /** LSH hyperplane signatures over a QUANTIZED long vector with INTEGER
+    * plane weights — all arithmetic is exact long math, so an oracle
+    * recomputing the same weights from the same LCG formula reproduces
+    * every sign bit-for-bit (the s23 kNN-graph build's candidate
+    * generator; float planes would make the Spark/DuckDB sign of
+    * near-zero dots a rounding coin-flip). Layout mirrors [[hyperSigs]]:
+    * `planes` is `[table * bitsPerTable + bit]`, one packed long per
+    * table; a strictly positive dot sets the bit. */
+  def hyperSigsLong(vec: ArrayData, planes: Array[Array[Long]],
+      bitsPerTable: Int): ArrayData = {
+    val nTables = planes.length / bitsPerTable
+    val out = new Array[Any](nTables)
+    val dim = vec.numElements()
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val p = planes(t * bitsPerTable + b)
+        var dot = 0L
+        var i = 0
+        val n = math.min(dim, p.length)
+        while (i < n) { dot += vec.getLong(i) * p(i); i += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = Long.box(sig)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of elements ≤ x in a SORTED long array — one binary search,
+    * O(log n) per row. q130's orientation kernel: per (user, grid-cell)
+    * row it yields the number of cell members at-or-before the user in
+    * id order against a broadcast sorted member array, so the O(u·G)
+    * census never shuffles or sorts the expanded rows (the window-cumsum
+    * formulation measured 8.6 s at sf0.1 purely in exchange+sort). */
+  def sortedCountLE(arr: ArrayData, x: Long): Long = {
+    var lo = 0
+    var hi = arr.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Index of the centroid with the largest dot product (spherical
     * k-means assignment; ties keep the lowest index — deterministic). */
   def nearestCentroid(vec: ArrayData, centroids: Array[Array[Double]],
@@ -347,6 +395,20 @@ case class L2SqLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class SortedCountLE(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_count_le"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVec.sortedCountLE(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeVec.sortedCountLE($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedCountLE =
+    copy(left = l, right = r)
+}
+
 case class DotProductF(left: Expression, right: Expression) extends VecBinary {
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -391,6 +453,25 @@ case class HyperplaneSigs(child: Expression,
       s"graft.functions.NativeVec.hyperSigs($c, $ref, $bitsPerTable, $isFloat)")
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+    copy(child = c)
+}
+
+/** [[HyperplaneSigs]]'s exact-integer twin for quantized long vectors —
+  * see [[NativeVec.hyperSigsLong]] for why the arithmetic must be long. */
+case class HyperplaneSigsLong(child: Expression,
+    planes: Array[Array[Long]], bitsPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sigs_long"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVec.hyperSigsLong(input.asInstanceOf[ArrayData], planes, bitsPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVec.hyperSigsLong($c, $ref, $bitsPerTable)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigsLong =
     copy(child = c)
 }
 
@@ -442,6 +523,13 @@ object NativeExprs {
     ColumnBridge.column(CosineSimF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2sqLong(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sortedCountLE(arr: Column, x: Column): Column =
+    ColumnBridge.column(SortedCountLE(
+      ColumnBridge.expression(arr), ColumnBridge.expression(x)))
+  def hyperplaneSigsLong(vec: Column, planes: Array[Array[Long]],
+      bitsPerTable: Int): Column =
+    ColumnBridge.column(
+      HyperplaneSigsLong(ColumnBridge.expression(vec), planes, bitsPerTable))
 }
 
 /** One-pass char-n-gram profile (round-12 sf1 finding): the composable

@@ -530,7 +530,24 @@ object ExtensionQueries {
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — the answer both
     * d2 (exact algorithm) and d3 (MinHash-LSH candidates + exact
     * verification) must produce: on this corpus LSH recall is total, so
-    * the approximate path is held to the exact answer. */
+    * the approximate path is held to the exact answer.
+    *
+    * Round-14 re-spell (r13 ask #3): the old shared-shingle self-join
+    * generated Σ df² candidate rows, and the sf1 replays of d35/d36
+    * (which inline this CTE) blew 100 GB RAM + 75 GB spill in DuckDB.
+    * The oracle now prunes exactly like the engine: the Bayardo prefix
+    * filter — J ≥ 0.5 forces overlap ≥ ceil(0.5·n) per side, so the two
+    * docs' (n − ceil(0.5·n) + 1) = (n//2 + 1) globally-rarest shingles
+    * must share the pair's FIRST common shingle under the (df, shingle)
+    * order (prefix⋈prefix, Σ df_prefix² rows) — tightened by the length
+    * filter (J ≥ 0.5 ⟹ sizes within 2×) and the PPJoin positional
+    * filter (overlap ≤ 1 + min of both suffix lengths at the first
+    * common shingle, and J ≥ 0.5 needs overlap ≥ ceil((na+nb)/3)) —
+    * then exact verification by list_intersect over compact per-doc
+    * shingle arrays. All three prunes are lossless (the first common
+    * shingle of a qualifying pair always passes them): values and order
+    * are identical to the unpruned join (the sf0.01/sf0.1/sf1 hash
+    * gates pin it). */
   private[queries] val exactJaccardSql =
     """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
@@ -543,15 +560,33 @@ object ExtensionQueries {
         |           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
         |    FROM tok) WHERE w2 IS NOT NULL AND w3 IS NOT NULL
         |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        |ranked AS (
+        |  SELECT s.doc_id, s.shingle,
+        |    ROW_NUMBER() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY d.df, s.shingle) AS rk,
+        |    z.n
+        |  FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+        |  JOIN sizes z ON z.doc_id = s.doc_id),
+        |pref AS (SELECT doc_id, shingle, rk, n FROM ranked
+        |  WHERE rk <= n // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    AND b.n <= 2 * a.n AND a.n <= 2 * b.n
+        |    AND 1 + LEAST(a.n - a.rk, b.n - b.rk) >= (a.n + b.n + 2) // 3),
+        |arrs AS (SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n
+        |  FROM sh GROUP BY doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+        |  SELECT c.id_a, c.id_b, len(list_intersect(x.arr, y.arr)) AS inter,
+        |    x.n AS na, y.n AS nb
+        |  FROM cand c JOIN arrs x ON x.doc_id = c.id_a
+        |  JOIN arrs y ON y.doc_id = c.id_b)
         |SELECT id_a, id_b,
-        |  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |  ROUND(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
+        |FROM inter
+        |WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact cosine top-k for the first five query vectors — shared by s1

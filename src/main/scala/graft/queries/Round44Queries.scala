@@ -59,10 +59,15 @@ object Round44Queries {
         .as("spend_c"))
     val ranked = graft.operators.Rank.globalRank(spend, "p",
       col("spend_c").asc, col("o_custkey"))
+    // the rank enters decimal BEFORE the product: (p·2−1)·spend_c in
+    // LongType can itself overflow at extreme scale (p ~ n, so a single
+    // term is ~n·spend_c); the whole term must ride in DECIMAL(38,0),
+    // matching the oracle's per-term HUGEINT cast (r13 advisor note)
     val stats = ranked.agg(count(lit(1)).as("n"),
       sum(col("spend_c")).as("total_c"),
-      sum(((col("p") * 2 - lit(1)) * col("spend_c"))
-        .cast(DecimalType(38, 0))).as("wsum"))
+      sum((col("p").cast(DecimalType(38, 0)) * 2 - lit(1)) *
+        col("spend_c").cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("wsum"))
     // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, so wsum rides in one aggregate
     stats.select(col("n").as("n_customers"), col("total_c"),
       expr("CAST((wsum - CAST(n AS DECIMAL(38,0)) * total_c) * 10000" +

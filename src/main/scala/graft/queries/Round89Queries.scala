@@ -10,18 +10,20 @@ import graft.functions.NativeExprs
   * classification, and the sort-key layout advisor:
   *
   *  - s23: multi-start greedy walks on a kNN graph — the serving
-  *    primitive under HNSW/NSG-style graph ANN. The index is the exact
-  *    16-NN digraph over quantized vectors; each query runs one strictly
-  *    improving greedy walk per seed (distance must drop to move, so
-  *    termination is structural, no iteration cap in the semantics), and
-  *    the best-of-seeds answer is compared against the true nearest
-  *    neighbor with an honest hit flag. On these near-random embeddings
-  *    single-seed greedy recall is poor (no small-world navigability —
-  *    exactly why HNSW adds hierarchy and beam width); the multi-start
-  *    reaches ~3/5 at sf0.01 with misses within 1.13× of exact, and the
-  *    walk trace (per-seed final node, distance, step count) is what the
-  *    hash gate pins. The oracle replays the identical walk as a
-  *    recursive CTE over the same precomputed best-neighbor table.
+  *    primitive under HNSW/NSG-style graph ANN. The index is the 16-NN
+  *    digraph over LSH-bucket candidates (round-14 redesign of the r13
+  *    n²-build weak: candidate-generate via 4×7-bit integer hyperplane
+  *    tables, then exact-verify — the d38 pattern); each query runs one
+  *    strictly improving greedy walk per seed (distance must drop to
+  *    move, so termination is structural, no iteration cap in the
+  *    semantics), and the best-of-seeds answer is compared against the
+  *    true nearest neighbor with an honest hit flag. On these
+  *    near-random embeddings single-seed greedy recall is poor (no
+  *    small-world navigability — exactly why HNSW adds hierarchy and
+  *    beam width); the walk trace (per-seed final node, distance, step
+  *    count) is what the hash gate pins. The oracle recomputes the same
+  *    buckets from the same integer LCG weights and replays the
+  *    identical walk as a recursive CTE.
   *  - q130: Allen's interval algebra census — every user-day activity
   *    interval pair (hour-granularity bounds so boundary relations
   *    actually occur) classified into all 13 relations with one shared
@@ -34,11 +36,17 @@ import graft.functions.NativeExprs
   *    n_distinct runs (2 000 vs 59 972 in natural order) — the measured
   *    evidence a 100 TB layout optimizer weighs before rewriting files.
   *
-  * Scale: s23's index build is the one quadratic step (n² exact
-  * distances — at corpus scale this becomes NN-descent); the walks touch
+  * Scale: s23's index build is Σ bucket² ≈ 4n²/128 candidate rows with
+  * linearly-growing per-node candidate sets (add tables/bits to hold
+  * bucket occupancy as n grows; NN-descent refinement is the next rung);
+  * the exact query-side qdist (n²/100 by the sample's construction) is
+  * the honest-hit-flag cost, one broadcast map pass. The walks touch
   * |queries|·|seeds| rows per iteration against a broadcast-sized
-  * best-neighbor table. q130 shuffles once on the day block. p46 is
-  * three sort-orders × five columns of group-local windows.
+  * best-neighbor table. q130 never shuffles more than the u user-day
+  * rows: the O(u·G) hour-grid expansion happens map-side against a
+  * broadcast sorted-member-array cell table and collapses into the
+  * 13-key partial aggregate (see q130's scaladoc). p46 is three
+  * sort-orders × five columns of group-local windows.
   *
   * Reference scope: beyond-reference LLM-pipeline surface (the
   * reference's transform dialect is open, /root/reference/tools.py:58-65).
@@ -50,33 +58,79 @@ object Round89Queries {
 
   // ── s23: multi-start greedy kNN-graph walks ───────────────────────────
 
+  /** LSH geometry for the kNN-graph index build: 4 tables × 7 sign bits
+    * over the 64-dim quantized vectors — bucket occupancy ~n/128 per
+    * table, so per-node candidate counts grow linearly in n while the
+    * all-candidate join stays Σ bucket² ≈ 4n²/128, never the n² exact
+    * build r13 flagged. Weights are INTEGERS from a fixed LCG (plane g,
+    * 1-based dim i): ((1103515245·(g·64+i) + 12345) mod 2048) − 1024 —
+    * exact long arithmetic, so the oracle recomputes every sign bit from
+    * the same formula (float planes would make near-zero dots a
+    * Spark-vs-DuckDB rounding coin-flip). */
+  private val LshTables = 4
+  private val LshBits = 7
+  private val LshDim = 64
+  private[queries] def lshPlanes: Array[Array[Long]] =
+    Array.tabulate(LshTables * LshBits) { g =>
+      Array.tabulate(LshDim) { i0 =>
+        ((1103515245L * (g.toLong * LshDim + i0 + 1) + 12345L) % 2048L) -
+          1024L
+      }
+    }
+
   def s23_graph_greedy_ann(s: SparkSession, dir: String): DataFrame = {
     val qv = graft.operators.Kmeans
       .quantized(t(s, dir, "embeddings"), "vec_id", "embedding")
       .localCheckpoint(true)
-    // exact all-pairs integer distances (the index build; n² once)
-    val ad = qv.as("a").join(qv.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst"),
-        NativeExprs.l2sqLong(col("a.v"), col("b.v")).as("d2"))
-      .localCheckpoint(true)
+    // Index build, round-14 redesign (the r13 weak): the d38 pattern —
+    // LSH buckets GENERATE candidates, exact integer distance VERIFIES
+    // and ranks per-node top-16. Nothing touches all pairs.
+    val sg = qv.select(col("id"),
+        posexplode(NativeExprs.hyperplaneSigsLong(
+          col("v"), lshPlanes, LshBits)))
+      .toDF("id", "tbl", "sig")
+    val cand = sg.as("a").join(sg.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    val cd = cand
+      .join(broadcast(qv.select(col("id").as("ida"), col("v").as("va"))),
+        Seq("ida"))
+      .join(broadcast(qv.select(col("id").as("idb"), col("v").as("vb"))),
+        Seq("idb"))
+      .select(col("ida"), col("idb"),
+        NativeExprs.l2sqLong(col("va"), col("vb")).as("d2"))
+    // ad feeds only the edge ranking — no checkpoint, one consumer
+    val ad = cd.select(col("ida").as("src"), col("idb").as("dst"), col("d2"))
+      .unionByName(
+        cd.select(col("idb").as("src"), col("ida").as("dst"), col("d2")))
     val edges = ad
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))))
       .filter(col("rn") <= 16).select(col("src"), col("dst"))
+    // Serving stays EXACT on the query side — the honest hit flag needs
+    // the true nearest neighbor, so qdist is |queries|·n = n²/100 rows by
+    // construction of the query sample, one broadcast pass, no shuffle.
     val queries = qv.filter(col("id") % 100 === 7).select(col("id").as("qid"))
-    val qdist = ad.join(queries, col("src") === col("qid"))
-      .select(col("qid"), col("dst").as("node"), col("d2"))
+    val qvecs = broadcast(qv.filter(col("id") % 100 === 7)
+      .select(col("id").as("vqid"), col("v").as("qvv")))
+    val qdist = qv.crossJoin(qvecs).filter(col("id") =!= col("vqid"))
+      .select(col("vqid").as("qid"), col("id").as("node"),
+        NativeExprs.l2sqLong(col("v"), col("qvv")).as("d2"))
       .localCheckpoint(true)
     // best graph neighbor of each node w.r.t. each query (walk never
     // steps onto the query row itself)
+    // min(struct) not a row_number window: the (qid, src) best-neighbor
+    // is an argmin, so the |edges|·|queries| rows partial-aggregate
+    // map-side instead of shuffling whole for a sort (tie-break (d2,
+    // dst) is the struct order — value-identical to the window form)
     val best = edges.join(qdist,
         edges("dst") === qdist("node") && qdist("node") =!= qdist("qid"))
-      .select(col("qid").as("bqid"), col("src").as("bsrc"),
-        col("dst").as("bdst"), col("d2").as("bd2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("bqid"), col("bsrc"))
-          .orderBy(col("bd2"), col("bdst"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(col("qid").as("bqid"), col("src").as("bsrc"))
+      .agg(min(struct(col("d2"), col("dst"))).as("bb"))
+      .select(col("bqid"), col("bsrc"),
+        col("bb.dst").as("bdst"), col("bb.d2").as("bd2"))
       .localCheckpoint(true)
     val seeds = qv.filter(col("id") % 125 === 3).select(col("id").as("seed"))
     var frontier = queries.crossJoin(seeds)
@@ -86,17 +140,34 @@ object Round89Queries {
         lit(0L).as("step"))
       .localCheckpoint(true)
     val trace = scala.collection.mutable.ArrayBuffer(frontier)
-    var iter = 0
-    // strictly decreasing d2 ⇒ the loop ends; 64 is a safety rail only
-    while (iter < 64 && frontier.limit(1).count() > 0) {
-      frontier = frontier.join(best,
+    val bbest = broadcast(best)
+    def stepOnce(f: DataFrame): DataFrame =
+      f.join(bbest,
           col("bqid") === col("qid") && col("bsrc") === col("cur") &&
             col("bd2") < col("d2"))
         .select(col("qid"), col("seed"), col("bdst").as("cur"),
           col("bd2").as("d2"), (col("step") + 1).as("step"))
+    // strictly decreasing d2 ⇒ the loop ends; 64 steps is a safety rail
+    // only. Steps advance in lazily-chained blocks of 4 with ONE
+    // materialization + ONE emptiness probe per block: walk depth is
+    // ≤ ~10 on this data and the walk's bench cost is driver round-trips,
+    // not rows (per-step checkpoint+count measured ~2 s of pure job
+    // overhead at sf0.1). A walk that dies mid-block contributes no rows
+    // at later steps; re-evaluating the ≤3 chained predecessors inside
+    // one block job is far cheaper than 3 more round-trips. The
+    // best-neighbor table broadcasts once per block and the exchange is
+    // reused by all 4 joins.
+    var iter = 0
+    while (iter < 64 && frontier.limit(1).count() > 0) {
+      val s1 = stepOnce(frontier)
+      val s2 = stepOnce(s1)
+      val s3 = stepOnce(s2)
+      val s4 = stepOnce(s3)
+      val blk = s1.unionByName(s2).unionByName(s3).unionByName(s4)
         .localCheckpoint(true)
-      trace += frontier
-      iter += 1
+      trace += blk
+      frontier = blk.filter(col("step") === lit(iter + 4L))
+      iter += 4
     }
     val walk = trace.reduce(_ unionByName _)
     val fin = walk
@@ -107,11 +178,10 @@ object Round89Queries {
       .select(col("qid"), col("seed"), col("cur").as("final_node"),
         col("d2").as("final_d2"), col("step").as("steps"))
     val exact = qdist.filter(col("node") =!= col("qid"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d2"), col("node"))))
-      .filter(col("rn") === 1)
-      .select(col("qid").as("eqid"), col("node").as("exact_nn"),
-        col("d2").as("exact_d2"))
+      .groupBy(col("qid").as("eqid"))
+      .agg(min(struct(col("d2"), col("node"))).as("e"))
+      .select(col("eqid"), col("e.node").as("exact_nn"),
+        col("e.d2").as("exact_d2"))
     fin.join(broadcast(exact), col("eqid") === col("qid")).drop("eqid")
       .withColumn("is_best", when(row_number().over(
         Window.partitionBy(col("qid"))
@@ -147,6 +217,27 @@ object Round89Queries {
       |  WHEN a_s > b_s AND a_s < b_e AND a_e > b_e THEN 'overlapped_by'
       |  ELSE 'other' END""".stripMargin
 
+  /** Round-14 redesign (the r13 weak): the old day-blocked pair self-join
+    * evaluated Σ_day u_d² CASEs for a 13-row census (67.9 s at sf1,
+    * exponent 1.52 — SCALE.md). Hour-granularity intervals within one
+    * day take at most 24·25/2 = 300 distinct (s, e) values, so the
+    * census collapses to GRID-CELL pair counts: group users into cells,
+    * then each (user a, cell b) row contributes `n_gt` pairs — the number
+    * of b-cell users with a LARGER user_id (the pair orientation: `a` is
+    * always the smaller id), i.e. cell size minus the count of members
+    * at-or-before a in id order. That count is one binary search
+    * ([[graft.functions.NativeExprs.sortedCountLE]]) into the cell's
+    * sorted member-id array, carried on the BROADCAST cells side
+    * (Σ|members| = u ids per day — megabytes), so the O(u·G) expansion
+    * lives entirely inside one whole-stage-codegen map over the u probe
+    * rows and collapses into the 13-key partial aggregate map-side:
+    * nothing bigger than u rows ever shuffles. (A window-cumsum
+    * formulation of the same census measured 8.6 s at sf0.1 purely in
+    * the u·G exchange+sort this shape avoids.) At corpus sizes where the
+    * per-day member arrays outgrow an executor, dropping the broadcast
+    * hint degrades to a shuffle join on day — the expansion stays
+    * map-local either way. The CASE itself is unchanged and still shared
+    * verbatim with the oracle. */
   def q130_allen_census(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val us = unix_micros(Tables.tsMicros(ev))
@@ -156,13 +247,19 @@ object Round89Queries {
       .groupBy(col("user_id"), col("day"))
       .agg(min(expr("us div 3600000000")).as("s"),
         max(expr("us div 3600000000")).as("e"))
-    iv.as("a").join(iv.as("b"),
-        col("a.day") === col("b.day") &&
-          col("a.user_id") < col("b.user_id"))
-      .select(col("a.s").as("a_s"), col("a.e").as("a_e"),
-        col("b.s").as("b_s"), col("b.e").as("b_e"))
-      .select(expr(AllenCase).as("rel"))
-      .groupBy(col("rel")).agg(count(lit(1)).as("n_pairs"))
+    // ≤300 occupied hour-grid cells per day, each with its sorted members
+    val cells = iv.groupBy(col("day").as("cday"),
+        col("s").as("b_s"), col("e").as("b_e"))
+      .agg(count(lit(1)).as("c"),
+        sort_array(collect_list(col("user_id").cast("long"))).as("members"))
+    iv.join(broadcast(cells), col("day") === col("cday"))
+      .select(col("s").as("a_s"), col("e").as("a_e"),
+        col("b_s"), col("b_e"),
+        (col("c") - NativeExprs.sortedCountLE(col("members"),
+          col("user_id").cast("long"))).as("n_gt"))
+      .filter(col("n_gt") > 0)
+      .select(expr(AllenCase).as("rel"), col("n_gt"))
+      .groupBy(col("rel")).agg(sum(col("n_gt")).as("n_pairs"))
       .orderBy(col("rel"))
   }
 
@@ -209,20 +306,44 @@ object Round89Queries {
         |  SELECT vec_id, i,
         |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
         |  FROM raw),
-        |alldist AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    CAST(SUM((a.qx - b.qx)*(a.qx - b.qx)) AS BIGINT) AS d2
-        |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id != b.vec_id
+        |pl AS (
+        |  SELECT g.g // 7 AS tbl, g.g % 7 AS bit, i.i AS i,
+        |    ((CAST(1103515245 AS BIGINT) * (g.g * 64 + i.i) + 12345)
+        |      % 2048) - 1024 AS w
+        |  FROM range(0, 28) g(g), range(1, 65) i(i)),
+        |dots AS (
+        |  SELECT q.vec_id, pl.tbl, pl.bit, SUM(q.qx * pl.w) AS dot
+        |  FROM q JOIN pl ON pl.i = q.i
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM sigs a JOIN sigs b
+        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |cd AS (
+        |  SELECT c.ida, c.idb,
+        |    CAST(SUM((qa.qx - qb.qx)*(qa.qx - qb.qx)) AS BIGINT) AS d2
+        |  FROM cand c JOIN q qa ON qa.vec_id = c.ida
+        |    JOIN q qb ON qb.vec_id = c.idb AND qb.i = qa.i
         |  GROUP BY 1, 2),
+        |ad AS (SELECT ida AS src, idb AS dst, d2 FROM cd
+        |  UNION ALL SELECT idb, ida, d2 FROM cd),
         |edges AS (
         |  SELECT src, dst FROM (
         |    SELECT src, dst,
         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
-        |    FROM alldist) WHERE rn <= 16),
+        |    FROM ad) WHERE rn <= 16),
         |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 100 = 7),
         |qdist AS (
-        |  SELECT qq.qid, d.dst AS node, d.d2
-        |  FROM qs qq JOIN alldist d ON d.src = qq.qid),
+        |  SELECT qa.vec_id AS qid, qb.vec_id AS node,
+        |    CAST(SUM((qa.qx - qb.qx)*(qa.qx - qb.qx)) AS BIGINT) AS d2
+        |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+        |  WHERE qa.vec_id % 100 = 7
+        |  GROUP BY 1, 2),
         |best AS (
         |  SELECT qid, src, dst, d2 FROM (
         |    SELECT dq.qid, e.src, e.dst, dq.d2,
@@ -266,26 +387,35 @@ object Round89Queries {
         |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS s,
         |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS e
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT day, s AS b_s, e AS b_e, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM iv GROUP BY 1, 2, 3),
+        |ug AS (
+        |  SELECT u.s AS a_s, u.e AS a_e, g.b_s, g.b_e,
+        |    g.c - SUM(CASE WHEN u.s = g.b_s AND u.e = g.b_e
+        |                   THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u.day, g.b_s, g.b_e ORDER BY u.user_id
+        |            ROWS UNBOUNDED PRECEDING) AS n_gt
+        |  FROM iv u JOIN cells g ON u.day = g.day),
         |pr AS (
         |  SELECT CASE
-        |      WHEN a.e < b.s THEN 'precedes'
-        |      WHEN a.s > b.e THEN 'preceded_by'
-        |      WHEN a.s = b.s AND a.e = b.e THEN 'equals'
-        |      WHEN a.e = b.s AND a.s < a.e AND b.s < b.e THEN 'meets'
-        |      WHEN b.e = a.s AND a.s < a.e AND b.s < b.e THEN 'met_by'
-        |      WHEN a.s = b.s AND a.e < b.e THEN 'starts'
-        |      WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
-        |      WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
-        |      WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
-        |      WHEN a.s > b.s AND a.e < b.e THEN 'during'
-        |      WHEN a.s < b.s AND a.e > b.e THEN 'contains'
-        |      WHEN a.s < b.s AND a.e > b.s AND a.e < b.e THEN 'overlaps'
-        |      WHEN a.s > b.s AND a.s < b.e AND a.e > b.e
+        |      WHEN a_e < b_s THEN 'precedes'
+        |      WHEN a_s > b_e THEN 'preceded_by'
+        |      WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+        |      WHEN a_e = b_s AND a_s < a_e AND b_s < b_e THEN 'meets'
+        |      WHEN b_e = a_s AND a_s < a_e AND b_s < b_e THEN 'met_by'
+        |      WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+        |      WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+        |      WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+        |      WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+        |      WHEN a_s > b_s AND a_e < b_e THEN 'during'
+        |      WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+        |      WHEN a_s < b_s AND a_e > b_s AND a_e < b_e THEN 'overlaps'
+        |      WHEN a_s > b_s AND a_s < b_e AND a_e > b_e
         |        THEN 'overlapped_by'
-        |      ELSE 'other' END AS rel
-        |  FROM iv a JOIN iv b
-        |    ON a.day = b.day AND a.user_id < b.user_id)
-        |SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |      ELSE 'other' END AS rel, n_gt
+        |  FROM ug WHERE n_gt > 0)
+        |SELECT rel, CAST(SUM(n_gt) AS BIGINT) AS n_pairs
         |FROM pr GROUP BY rel ORDER BY rel""".stripMargin,
     "p46_sort_advisor" ->
       """WITH src AS (

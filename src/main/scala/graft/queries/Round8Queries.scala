@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -143,7 +143,24 @@ object Round8Queries {
   //        (the file source delivers the fixture in one batch; a
   //        multi-batch ingest deduping each batch on arrival is the
   //        operator's production contract). ──────────────────────────
-  def e14_stream_ingest_dedup(s: SparkSession, dir: String): DataFrame = {
+  def e14_stream_ingest_dedup(s: SparkSession, dir: String): DataFrame =
+    streamIngestDedup(s, dir, col("doc_id") % 2 === 1)
+
+  // ── e44: e14's CONSTANT-DELTA production twin (round-14, r13 verdict
+  //        ask #4): the ingest is a FIXED ~200-doc batch (odd doc_id
+  //        < 400 — the same row count at every scale factor) deduped
+  //        against the FULL corpus-sized posting artifact. The gate's
+  //        cost is therefore linear in the delta plus the postings it
+  //        actually probes — the production shape of streaming ingest —
+  //        while e14's whole-corpus replay stays as the batch/stream
+  //        parity proof (its ~n² total microbatch work is inherent to
+  //        replaying the corpus against itself, adjudicated r13). ──────
+  def e44_stream_delta_dedup(s: SparkSession, dir: String): DataFrame =
+    streamIngestDedup(s, dir,
+      col("doc_id") % 2 === 1 && col("doc_id") < 400)
+
+  private def streamIngestDedup(s: SparkSession, dir: String,
+      deltaFilter: Column): DataFrame = {
     val schema = t(s, dir, "documents").schema
     val outDir = graft.Scratch.dir(
       s"e14_verdicts_${streamSeq.incrementAndGet()}")
@@ -151,7 +168,7 @@ object Round8Queries {
       Dedup.postingList(s.read.parquet(corpusSetsDir(s, dir)))
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .filter(col("doc_id") % 2 === 1)
+      .filter(deltaFilter)
     val batchSh = Dedup.postingList(
       Dedup.shingleSets(stream, "doc_id", "text", n = 3))
     val joined = batchSh.as("a")
@@ -179,7 +196,7 @@ object Round8Queries {
     // read the landed verdicts with an explicit schema: a batch with no
     // candidate pairs writes no part files
     val best = s.read.schema("doc_id BIGINT, dup_of BIGINT").parquet(outDir)
-    t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+    t(s, dir, "documents").filter(deltaFilter)
       .select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
       .orderBy(col("doc_id"))
@@ -318,6 +335,7 @@ object Round8Queries {
     "d15_lsh_incremental"     -> (d15_lsh_incremental _),
     "d16_artifact_update"     -> (d16_artifact_update _),
     "e14_stream_ingest_dedup" -> (e14_stream_ingest_dedup _),
+    "e44_stream_delta_dedup" -> (e44_stream_delta_dedup _),
     "d13b_winnow_capped"      -> (d13b_winnow_capped _),
     "q75_pagerank_directed"   -> (q75_pagerank_directed _),
     "p21_csv_quoted_multiline" -> (p21_csv_quoted_multiline _),
@@ -375,6 +393,34 @@ object Round8Queries {
     "d15_lsh_incremental" -> ExtensionQueries.oracles("d9_cross_corpus_dedup"),
     // the streaming ingest path must reproduce the batch answer exactly
     "e14_stream_ingest_dedup" -> ExtensionQueries.oracles("d9_cross_corpus_dedup"),
+    // d9's oracle with the constant-delta restriction on the ingest side
+    "e44_stream_delta_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle FROM (
+        |    SELECT doc_id, w,
+        |           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |    FROM tok) WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id % 2 = 1 AND a.doc_id < 400 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT id_a AS doc_id, MIN(id_b) AS dup_of
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |  GROUP BY 1)
+        |SELECT d.doc_id, b.dup_of, (b.dup_of IS NULL) AS kept
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 AND d.doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
     // post-merge index stats recomputed from raw text: the dedup decision
     // (d9's), the kept-doc union, and the merged posting counts
     "d16_artifact_update" ->

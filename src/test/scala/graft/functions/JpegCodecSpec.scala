@@ -244,4 +244,41 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(hasSof2(cpj))
     assert(JpegCodec.decodeJpeg(cpj).pixels.toSeq === cbase.pixels.toSeq)
   }
+
+  test("scan-script gaps error loudly (r14 progression audit): a " +
+      "refinement with no first scan, AC before DC, and a duplicate " +
+      "first scan are all rejected, never decoded to garbage") {
+    val rng = new scala.util.Random(7)
+    val gray = Array.tabulate[Byte](32 * 32)(i =>
+      (((i * 5) % 211) + rng.nextInt(5)).toByte)
+    val pj = JpegCodec.encodeJpeg(32, 32, 1, gray, 85, progressive = true)
+    // entropy data is byte-stuffed (FF always followed by 00 / RSTn),
+    // so FF DA only ever occurs as a real SOS marker
+    def sosOffsets(b: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda) out += i
+        i += 1
+      }
+      out.toSeq
+    }
+    val sos = sosOffsets(pj)
+    assert(sos.length === 4) // gray: DC-first, AC-first, DC-ref, AC-ref
+    JpegCodec.decodeJpeg(pj) // intact stream decodes
+    // (a) excise the AC-first scan → its refinement has no predecessor
+    val noAcFirst = pj.take(sos(1)) ++ pj.drop(sos(2))
+    val e1 = intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(noAcFirst))
+    assert(e1.getMessage.contains("no first scan"))
+    // (b) excise the DC-first scan → AC scan precedes the DC first scan
+    val noDcFirst = pj.take(sos(0)) ++ pj.drop(sos(1))
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(noDcFirst))
+    assert(e2.getMessage.contains("before its DC first scan"))
+    // (c) duplicate the AC-first scan → re-establishes a decoded band
+    val dup = pj.take(sos(2)) ++ pj.slice(sos(1), sos(2)) ++ pj.drop(sos(2))
+    val e3 = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(dup))
+    assert(e3.getMessage.contains("duplicate first scan"))
+  }
 }
