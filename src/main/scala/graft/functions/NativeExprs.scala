@@ -171,6 +171,47 @@ object NativeVec {
     s
   }
 
+  /** m31's 4×4-block SAD motion argmin in one tight loop: for block
+    * `blk` of the 8×8 rasters (f1 = current, f0 = reference), scan
+    * (dy, dx) ∈ [−1, 1]², SAD over in-bounds pixels only, and keep the
+    * (sad, dy, dx)-lexicographic minimum — ascending scan order plus a
+    * strict `<` makes the first minimum win, exactly the windowed
+    * `orderBy(sad, dy, dx)` rank-1 semantics. Returns
+    * [sad, dy, dx, n_valid] as longs. The composable HOF spelling of
+    * the same search is interpreted per element (~1.4 µs each × 288
+    * lambda evals/row); this is the §4 "native expression in the hot
+    * path" form. */
+  def blockMotionBest(f0: ArrayData, f1: ArrayData, blk: Int): ArrayData = {
+    val bx = (blk % 2) * 4
+    val by = (blk / 2) * 4
+    var bestSad = Long.MaxValue
+    var bestDy = 0L; var bestDx = 0L; var bestNv = 0L
+    var dy = -1
+    while (dy <= 1) {
+      var dx = -1
+      while (dx <= 1) {
+        var sad = 0L; var nv = 0L
+        var i = 0
+        while (i < 16) {
+          val x = bx + i % 4
+          val y = by + i / 4
+          if (x + dx >= 0 && x + dx <= 7 && y + dy >= 0 && y + dy <= 7) {
+            sad += math.abs(f1.getInt(y * 8 + x).toLong -
+              f0.getInt((y + dy) * 8 + x + dx).toLong)
+            nv += 1
+          }
+          i += 1
+        }
+        if (sad < bestSad) {
+          bestSad = sad; bestDy = dy; bestDx = dx; bestNv = nv
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    new GenericArrayData(Array[Any](bestSad, bestDy, bestDx, bestNv))
+  }
+
   /** Exact squared L2 distance between two long arrays (quantized
     * embeddings — the s8/s9/d18 convention). Pure integer arithmetic:
     * order-independent, overflow-safe for round(x·10⁶) quantization up
@@ -395,6 +436,22 @@ case class L2SqLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class BlockMotionBest(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "block_motion_best"
+  override protected def nullSafeEval(f0: Any, f1: Any, blk: Any): Any =
+    NativeVec.blockMotionBest(f0.asInstanceOf[ArrayData],
+      f1.asInstanceOf[ArrayData], blk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.NativeVec.blockMotionBest($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): BlockMotionBest = copy(first = f, second = s, third = t)
+}
+
 case class SortedCountLE(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -526,6 +583,9 @@ object NativeExprs {
   def sortedCountLE(arr: Column, x: Column): Column =
     ColumnBridge.column(SortedCountLE(
       ColumnBridge.expression(arr), ColumnBridge.expression(x)))
+  def blockMotionBest(f0: Column, f1: Column, blk: Column): Column =
+    ColumnBridge.column(BlockMotionBest(ColumnBridge.expression(f0),
+      ColumnBridge.expression(f1), ColumnBridge.expression(blk)))
   def hyperplaneSigsLong(vec: Column, planes: Array[Array[Long]],
       bitsPerTable: Int): Column =
     ColumnBridge.column(

@@ -210,8 +210,17 @@ object Dedup {
     * threshold, pinned by D9PrefixFilterSpec. */
   def crossNgramJaccardAgainstSets(newDf: DataFrame, corpusSets: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val newSets = docShingleSets(newDf, idCol, textCol, n)
+      threshold: Double = 0.5): DataFrame =
+    crossJaccardFromSets(docShingleSets(newDf, idCol, textCol, n),
+      corpusSets, threshold)
+
+  /** [[crossNgramJaccardAgainstSets]] with BOTH sides already in
+    * [[shingleSets]] form — lets a caller that also needs the batch's
+    * sets downstream (d16's artifact merge) tokenize the batch exactly
+    * once instead of once per consumer (guide §1.2: don't recompute what
+    * you already have). */
+  def crossJaccardFromSets(newSets: DataFrame, corpusSets: DataFrame,
+      threshold: Double): DataFrame = {
     val a = explodedShingles(newSets)
     val b = explodedShingles(corpusSets)
     val freq = a.select(col("sh")).union(b.select(col("sh")))

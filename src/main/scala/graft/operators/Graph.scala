@@ -105,15 +105,18 @@ object Graph {
     var visited = Seq((src, 0)).toDF("n", "d").localCheckpoint(true)
     var frontier = visited.select(col("n"))
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    // count(), not isEmpty: the probe is also the lazy checkpoint's
+    // materialization pass (see starContraction scaladoc), so it must
+    // touch every partition of the frontier.
+    while (depth < maxDepth && frontier.count() > 0) {
       depth += 1
       val next = frontier.join(und, col("n") === col("u"))
         .select(col("v").as("n")).distinct()
         .join(visited, Seq("n"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited
         .union(next.withColumn("d", lit(depth)).select(col("n"), col("d")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier = next
     }
     visited
@@ -155,7 +158,7 @@ object Graph {
       ranks = contrib.groupBy(col("v").as("node"))
         .agg(sum(col("c")).cast(DoubleType).as("s"))
         .select(col("node"), round(lit(base) + col("s"), 12).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -215,7 +218,7 @@ object Graph {
         .select(col("node"),
           round(lit(base) + lit(damping) * col("dang") / lit(n.toDouble) +
             coalesce(col("s"), lit(0.0)), 12).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -250,13 +253,19 @@ object Graph {
   /** Alternate large-star/small-star until the edge set is a fixpoint of
     * stars (u, componentMin), then read the labels off the stars.
     *
-    * Every round materializes through an eager `localCheckpoint`: each
+    * Every round truncates lineage through a `localCheckpoint`: each
     * star step references its input three times, so without lineage
     * truncation the logical plan grows ~9× per round and the optimizer —
-    * not the data — becomes the bottleneck. Checkpoint blocks are
-    * executor-local and not fault-tolerant; a long-lived cluster
-    * deployment would checkpoint to reliable storage instead (same code,
-    * `checkpoint(true)` + a checkpoint dir). */
+    * not the data — becomes the bottleneck. Round 14: the in-loop
+    * checkpoints across ALL iterative operators here are LAZY
+    * (`localCheckpoint(false)`) — plan truncation is identical (the
+    * RDD is planned per round either way), but materialization folds
+    * into the round's convergence probe / the next consumer instead of
+    * paying a separate driver-scheduled job per round (measured ~0.1 s
+    * of pure job overhead each at any scale — guide §1.2 "passes").
+    * Checkpoint blocks are executor-local and not fault-tolerant; a
+    * long-lived cluster deployment would checkpoint to reliable storage
+    * instead (same code, `checkpoint(true)` + a checkpoint dir). */
   private def starContraction(und: DataFrame, maxRounds: Int): DataFrame = {
     var e = und.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
@@ -265,7 +274,7 @@ object Graph {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       // exact fixpoint check on the canonical edge set (two anti-joins
       // over the two checkpoints; a hash-signature compare would be
       // probabilistic, and this operator feeds correctness-gated dedup)
@@ -314,10 +323,10 @@ object Graph {
     for (_ <- 1 to iters) {
       a = e.join(h.withColumnRenamed("n", "u"), "u")
         .groupBy(col("v").as("n")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       h = e.join(a.withColumnRenamed("n", "v"), "v")
         .groupBy(col("u").as("n")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     nodes
       .join(h, Seq("n"), "left").join(a, Seq("n"), "left")
@@ -354,7 +363,7 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .union(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       improved = relaxed.as("n")
         .join(dist.as("o"), col("n.node") === col("o.node"), "left")
         .filter(col("o.node").isNull || col("n.dist") < col("o.dist"))
@@ -411,7 +420,7 @@ object Graph {
         .select(col("node"),
           round(col("s") + when(col("node") === seed,
             lit(1.0) - lit(damping)).otherwise(lit(0.0)), 12).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -485,10 +494,10 @@ object Graph {
         .groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("n"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dropped = surv.join(next, Seq("n"), "left_anti")
         .select(col("n"), lit(r).as("layer"))
-      layers = layers.union(dropped).localCheckpoint(true)
+      layers = layers.union(dropped).localCheckpoint(false)
       surv = next
     }
     layers.union(surv.select(col("n"), lit(rounds + 1).as("layer")))
@@ -531,7 +540,7 @@ object Graph {
       lab = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("n"), col("l"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lab
   }
@@ -560,7 +569,7 @@ object Graph {
         .select(col("dst").as("node"), least(col("cap"), col("w")).as("cap"))
         .union(cap)
         .groupBy(col("node")).agg(max(col("cap")).as("cap"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       improved = relaxed.as("n")
         .join(cap.as("o"), col("n.node") === col("o.node"), "left")
         .filter(col("o.node").isNull || col("n.cap") > col("o.cap"))

@@ -77,7 +77,10 @@ object Kmeans {
     var cent = q.where(col("id") < k)
       .select(col("id").as("c"), col("v").as("cv"))
     for (_ <- 1 to iters)
-      cent = update(q, cent).localCheckpoint() // k rows; truncates lineage
+      // lazy: truncates lineage identically, but the k-row materialization
+      // folds into the next iteration's broadcast build instead of paying
+      // a separate driver-scheduled job per update (Graph.scala discipline)
+      cent = update(q, cent).localCheckpoint(false)
     cent
   }
 

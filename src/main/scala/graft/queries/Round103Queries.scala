@@ -37,11 +37,15 @@ object Round103Queries {
 
   def q146_fd_discovery(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
+    // Round-14: the profiled cost was hashing 25× expanded STRING-cast
+    // key tuples (guide §2.3 "narrower types"). Distinct counts are
+    // invariant under the injective int→string casts, so the Expand now
+    // hashes native ints/longs; output (counts only) is bit-identical.
     val src = o.select(
-      col("o_orderkey").cast("string").as("ok"),
-      col("o_custkey").cast("string").as("ck"),
+      col("o_orderkey").as("ok"),
+      col("o_custkey").as("ck"),
       col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"),
-      year(Tables.tsMicros(o, "o_orderdate")).cast("string").as("yr"))
+      year(Tables.tsMicros(o, "o_orderdate")).as("yr"))
       .localCheckpoint(true)
     val cols = Seq("ok", "ck", "pr", "st", "yr")
     val pairs = for { lhs <- cols; rhs <- cols if lhs != rhs }

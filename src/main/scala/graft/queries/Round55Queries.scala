@@ -56,21 +56,29 @@ object Round55Queries {
         .groupBy(col(key))
         .agg(sum(col("cosr").cast(DecimalType(28, 12))).as(s"s_$key"))
     }
+    // Round-14 reshape (guide §2.3/§3.1): the knnSum tables are one row
+    // per pool member (n/2 rows) — broadcast them so the n²/4 scored
+    // pairs never shuffle for the sum attach; and the per-endpoint best
+    // match is an ARGMAX, so max(struct(margin, −id, …)) partial-
+    // aggregates map-side instead of two more full window sort-shuffles
+    // of the pair table (tie-break: equal margins prefer the smaller
+    // partner id — max of −id — exactly the old orderBy(desc, id) rank).
     val scored = cosAll
-      .join(knnSum("a", "b"), "a")
-      .join(knnSum("b", "a"), "b")
+      .join(broadcast(knnSum("a", "b")), "a")
+      .join(broadcast(knnSum("b", "a")), "b")
       .select(col("a"), col("b"), col("cosr"),
         round(col("cosr") * lit(2 * K) /
           (col("s_a") + col("s_b")).cast(DoubleType), 6).as("margin_m"))
-    val fwd = scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("a"))
-          .orderBy(col("margin_m").desc, col("b"))))
-      .filter(col("rn") === 1).drop("rn")
-    val bwd = scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("b"))
-          .orderBy(col("margin_m").desc, col("a"))))
-      .filter(col("rn") === 1)
-      .select(col("b"), col("a").as("best_a"))
+    val fwd = scored
+      .groupBy(col("a"))
+      .agg(max(struct(col("margin_m"), (-col("b")).as("nb"),
+        col("cosr"))).as("m"))
+      .select(col("a"), (-col("m.nb")).as("b"), col("m.cosr").as("cosr"),
+        col("m.margin_m").as("margin_m"))
+    val bwd = scored
+      .groupBy(col("b"))
+      .agg(max(struct(col("margin_m"), (-col("a")).as("na"))).as("m"))
+      .select(col("b"), (-col("m.na")).as("best_a"))
     fwd.join(bwd, "b")
       .select(col("a").as("query_id"), col("b").as("cand_id"),
         round(col("cosr"), 6).as("cosine"), col("margin_m"),

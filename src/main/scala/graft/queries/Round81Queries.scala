@@ -54,10 +54,17 @@ object Round81Queries {
         col("o_orderdate") < "1995-04-01")
       .select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate").cast("string").as("d"))
-    slice.repartition(1).write.mode("overwrite").partitionBy("d").parquet(v1)
+    // Round-14 (guide §6): repartition BY THE PARTITION COLUMN, not to 1 —
+    // the old single task opened all ~90 day writers sequentially (the
+    // driver-bottleneck shape §5 warns about); keying the exchange by
+    // d/m spreads partition dirs across tasks and still yields exactly
+    // one file per dir (a dir's rows land in one task), so files_v2 and
+    // the pruned-file count are unchanged at any core count.
+    slice.repartition(col("d")).write.mode("overwrite").partitionBy("d")
+      .parquet(v1)
     val monthly = s.read.parquet(v1)
       .withColumn("m", substring(col("d"), 1, 7))
-    monthly.repartition(1).write.mode("overwrite").partitionBy("m")
+    monthly.repartition(col("m")).write.mode("overwrite").partitionBy("m")
       .parquet(v2)
     val perV1 = s.read.parquet(v1)
       .groupBy(substring(col("d"), 1, 7).as("month"))

@@ -138,7 +138,7 @@ object Round89Queries {
         col("dqid") === col("qid") && col("node") === col("seed"))
       .select(col("qid"), col("seed"), col("seed").as("cur"), col("d2"),
         lit(0L).as("step"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materializes in the first emptiness probe
     val trace = scala.collection.mutable.ArrayBuffer(frontier)
     val bbest = broadcast(best)
     def stepOnce(f: DataFrame): DataFrame =
@@ -157,14 +157,18 @@ object Round89Queries {
     // one block job is far cheaper than 3 more round-trips. The
     // best-neighbor table broadcasts once per block and the exchange is
     // reused by all 4 joins.
+    // full count (not limit(1)): with the lazy block checkpoints the
+    // probe job IS the materialization pass, so it must touch every
+    // partition — a limit(1) would cache only the partitions it scanned
+    // and re-derive the rest in the final walk union.
     var iter = 0
-    while (iter < 64 && frontier.limit(1).count() > 0) {
+    while (iter < 64 && frontier.count() > 0) {
       val s1 = stepOnce(frontier)
       val s2 = stepOnce(s1)
       val s3 = stepOnce(s2)
       val s4 = stepOnce(s3)
       val blk = s1.unionByName(s2).unionByName(s3).unionByName(s4)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the emptiness probe materializes it
       trace += blk
       frontier = blk.filter(col("step") === lit(iter + 4L))
       iter += 4

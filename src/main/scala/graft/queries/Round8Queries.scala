@@ -234,11 +234,15 @@ object Round8Queries {
   def d16_artifact_update(s: SparkSession, dir: String): DataFrame = {
     val corpusSets = s.read.parquet(corpusSetsDir(s, dir))
     val batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
-    val dupIds = Dedup.crossNgramJaccardAgainstSets(batch, corpusSets,
-        "doc_id", "text", n = 3, threshold = 0.5)
-      .select(col("id_a").as("doc_id")).distinct()
-    val keptSets = Dedup.shingleSets(
-      batch.join(dupIds, Seq("doc_id"), "left_anti"), "doc_id", "text", n = 3)
+    // Round 14: tokenize the batch ONCE — the dedup probe and the kept-set
+    // merge both read the same checkpointed shingle-set table (the old
+    // shape re-shingled the kept docs a second time).
+    val batchSets = Dedup.shingleSets(batch, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val dupIds = Dedup.crossJaccardFromSets(batchSets, corpusSets,
+        threshold = 0.5)
+      .select(col("id_a").as("id")).distinct()
+    val keptSets = batchSets.join(dupIds, Seq("id"), "left_anti")
     val out = graft.Scratch.dir(s"d16_merged_${sanitize(dir)}")
     graft.sinks.ParquetSink.write(corpusSets.unionByName(keptSets), out)
     val merged = s.read.parquet(out)

@@ -77,39 +77,33 @@ object Round95Queries {
       ImageExprs.decodePixels(ImageExprs.encodeImageFromText(
         expr("concat(substring(text, 2), substring(text, 1, 1))"),
         "pgm", 8, 8)).as("f1"))
+    // block origin (bx, by) = ((blk % 2) * 4, (blk div 2) * 4); pixel i
+    // of the block probes f1 at (x, y) and f0 at (x + dx, y + dy).
+    // Round-14 reshape (guide §2.4 + §4): the old 4×3×3 candidate explode
+    // carried two 64-element rasters on each of 36 rows per doc into a
+    // (doc_id, blk) window — a full shuffle and sort for what is a
+    // per-row argmin, with the SAD itself evaluated through interpreted
+    // higher-order lambdas. Only the blk explode remains (its Generate is
+    // also the projection barrier that keeps the decode evaluated ONCE
+    // per doc — without it CollapseProject inlines decode_pixels into
+    // every array access and re-decodes the frame ~1000× per row,
+    // measured 10× slower); the whole (dy, dx) search now runs in the
+    // codegen'd [[graft.functions.NativeExprs.blockMotionBest]] loop
+    // whose ascending scan + strict < reproduces the window's
+    // orderBy(sad, dy, dx) rank-1 exactly (BlockMotionBestSpec pins it
+    // against the old windowed spelling). No exchange before the final
+    // orderBy.
     val cand = frames
       .select(col("doc_id"), col("f0"), col("f1"),
         explode(expr("sequence(0, 3)")).as("blk"))
-      .select(col("doc_id"), col("f0"), col("f1"), col("blk"),
-        explode(expr("sequence(-1, 1)")).as("dy"))
-      .select(col("doc_id"), col("f0"), col("f1"), col("blk"), col("dy"),
-        explode(expr("sequence(-1, 1)")).as("dx"))
-    // block origin (bx, by) = ((blk % 2) * 4, (blk div 2) * 4); pixel i
-    // of the block probes f1 at (x, y) and f0 at (x + dx, y + dy)
-    val sad = cand.selectExpr("doc_id", "blk", "dx", "dy",
-      """aggregate(transform(sequence(0, 15), i ->
-        |  CASE WHEN (blk % 2) * 4 + i % 4 + dx BETWEEN 0 AND 7
-        |        AND (blk div 2) * 4 + i div 4 + dy BETWEEN 0 AND 7
-        |    THEN abs(CAST(f1[((blk div 2) * 4 + i div 4) * 8
-        |                    + (blk % 2) * 4 + i % 4] AS BIGINT)
-        |           - CAST(f0[((blk div 2) * 4 + i div 4 + dy) * 8
-        |                    + (blk % 2) * 4 + i % 4 + dx] AS BIGINT))
-        |    ELSE 0L END),
-        |  0L, (acc, x) -> acc + x) AS sad""".stripMargin,
-      """aggregate(transform(sequence(0, 15), i ->
-        |  CASE WHEN (blk % 2) * 4 + i % 4 + dx BETWEEN 0 AND 7
-        |        AND (blk div 2) * 4 + i div 4 + dy BETWEEN 0 AND 7
-        |    THEN 1L ELSE 0L END), 0L, (acc, x) -> acc + x)
-        |  AS n_valid""".stripMargin)
-    import org.apache.spark.sql.expressions.Window
-    sad.withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("blk"))
-          .orderBy(col("sad"), col("dy"), col("dx"))))
-      .filter(col("rn") === 1)
+    cand.select(col("doc_id"), col("blk"),
+        graft.functions.NativeExprs.blockMotionBest(
+          col("f0"), col("f1"), col("blk")).as("b"))
       .select(col("doc_id"), col("blk").cast("long").as("blk"),
-        col("dx").cast("long").as("best_dx"),
-        col("dy").cast("long").as("best_dy"), col("sad").as("best_sad"),
-        col("n_valid"))
+        col("b").getItem(2).as("best_dx"),
+        col("b").getItem(1).as("best_dy"),
+        col("b").getItem(0).as("best_sad"),
+        col("b").getItem(3).as("n_valid"))
       .orderBy(col("doc_id"), col("blk"))
   }
 
