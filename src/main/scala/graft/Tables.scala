@@ -23,6 +23,33 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Scale-adaptive scan spread (round 14, guide §2.5 "input skew"): a
+    * small parquet fixture is one row group, so its scan plans as a
+    * single partition — and any per-row-HEAVY operator downstream
+    * (tokenize+shingle+hash, image decode, n²-expanding vector math)
+    * serializes behind one core while 31 idle; AQE cannot split a scan.
+    * When the planned scan has fewer partitions than the cluster's
+    * default parallelism, repartition up to it; at production scale the
+    * row-group count already exceeds the core count and this is the
+    * identity — no shuffle is ever added for a big input. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[spread]] plus a lazy RDD barrier. Needed when the caller's very
+    * next projection is ONE heavy single-use expression: CollapseProject
+    * happily pushes such a projection below a repartition (its used-once
+    * check ignores execution multiplicity), silently undoing the spread.
+    * The barrier only exists in the small-scan case, so nothing is ever
+    * cached for a production-width input. */
+  def spreadBarrier(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p)
+      df.repartition(p).localCheckpoint(false)
+    else df
+  }
+
   /** `events.ts` normalized to a µs-precision `TimestampType` column, across
     * both testdata generations: `timestamp[ns]` parquet arrives as LongType
     * nanoseconds (under `spark.sql.legacy.parquet.nanosAsLong`), while

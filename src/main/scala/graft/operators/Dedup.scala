@@ -36,7 +36,10 @@ object Dedup {
     * the posting-list view from it. */
   private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // Tables.spread: the tokenize+shingle+hash pass is the family's
+    // per-row hot loop — never leave it serialized on a one-row-group
+    // test scan (round 14; identity at production scan widths)
+    graft.Tables.spread(df).select(col(idCol).as("id"),
         transform(array_distinct(Text.shingles(col(textCol), n)),
           s => xxhash64(s)).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), col("shs"))
@@ -113,12 +116,28 @@ object Dedup {
     * so the verified result stays exact. */
   private[operators] def candidatePairs(sh: DataFrame, threshold: Double): DataFrame = {
     val prefix = rankedPrefix(sh, threshold)
-    prefix.as("x")
+    spreadPairs(prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
   }
+
+  /** Round 14 (guide §2.5): candidate-pair tables are a few bytes per
+    * row, so AQE's byte-based partition coalescing collapses them to one
+    * or two partitions — and the exact verification that follows
+    * (per-pair `array_intersect` over ~50-element sets) then runs as a
+    * single straggler task (profiled 3.4 s of a 4.8 s query on d38's
+    * twin shape). Re-spread by the pair key at cluster parallelism;
+    * REPARTITION_BY_NUM exchanges are exempt from AQE coalescing, and at
+    * corpus scale (where candidates outgrow the advisory size anyway)
+    * the extra exchange moves only the 16-byte pair keys. Applied
+    * BEFORE the pair distinct: the repartition then satisfies the
+    * distinct's required distribution, so dedup + verify share the one
+    * pinned exchange. */
+  private[operators] def spreadPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+      col("id_a"), col("id_b"))
 
   /** Each document's |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles — the
     * prefix that any ≥t-similar partner must intersect. */
@@ -156,10 +175,10 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val ds = docShingleSets(df, idCol, textCol, n).localCheckpoint()
     val sh = explodedShingles(ds)
-    val candidates = rankedPrefix(sh, threshold).as("x")
+    val candidates = spreadPairs(rankedPrefix(sh, threshold).as("x")
       .join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
     val containment =
       col("inter").cast(DoubleType) / col("na").cast(DoubleType)
@@ -225,10 +244,10 @@ object Dedup {
     val b = explodedShingles(corpusSets)
     val freq = a.select(col("sh")).union(b.select(col("sh")))
       .groupBy(col("sh")).agg(count(lit(1)).as("df0"))
-    val candidates = rankedPrefixWith(a, freq, threshold).as("x")
+    val candidates = spreadPairs(rankedPrefixWith(a, freq, threshold).as("x")
       .join(rankedPrefixWith(b, freq, threshold).as("y"),
         col("x.sh") === col("y.sh"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
     val jac = col("inter").cast(DoubleType) /
       (col("na") + col("nb") - col("inter")).cast(DoubleType)
@@ -262,10 +281,10 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val qb = minhashBands(newDf, idCol, textCol, shingleN, numHashes, bands)
-    val candidates = qb.as("x")
+    val candidates = spreadPairs(qb.as("x")
       .join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
     val newSets = docShingleSets(newDf, idCol, textCol, shingleN)
     val jac = col("inter").cast(DoubleType) /
@@ -288,7 +307,7 @@ object Dedup {
     * explode, no shuffle, no 32-column aggregate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.Tables.spread(df).select(col(idCol).as("id"),
       graft.functions.NativeExprs.minhashSig(
         graft.functions.Text.shingles(col(textCol), shingleN), numHashes)
         .as("sig"))
@@ -321,11 +340,11 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val buckets = minhashBands(df, idCol, textCol, shingleN, numHashes, bands)
-    val candidates = buckets.as("x")
+    val candidates = spreadPairs(buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
 
     // verify candidates with exact jaccard (candidate set is small by
@@ -424,7 +443,10 @@ object Dedup {
     * path (LSH buckets bound the candidate set). */
   def embeddingCosineExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread: the n²/2 cosine expansion rides the streamed scan side —
+    // profiled as ONE 2.3 s task on the single-row-group fixture
+    val v = graft.Tables.spread(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(Vectors.cosine(col("x.v"), col("y.v")), 6).as("cosine"))
@@ -486,7 +508,8 @@ object Dedup {
 
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = graft.Tables.spread(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
     val cos = Vectors.cosine(col("x.v"), col("y.v"))
     bucketed.as("x")

@@ -123,10 +123,10 @@ object Round107Queries {
     // d5's integer lattice: quantize to round(x·10⁶) longs once, so every
     // pairwise squared distance is exact 64-bit arithmetic inside one
     // codegen'd loop (L2SqLong) — no decimal folds on the O(N²) hot path
-    val v = t(s, dir, "embeddings")
+    val v = graft.Tables.spread(t(s, dir, "embeddings")
       .select(col("vec_id").as("id"),
         transform(col("embedding"),
-          x => round(x.cast(DoubleType) * lit(1e6)).cast("long")).as("q"))
+          x => round(x.cast(DoubleType) * lit(1e6)).cast("long")).as("q")))
     val half = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("pid"), col("y.id").as("oid"),
         graft.functions.NativeExprs.l2sqLong(col("x.q"), col("y.q"))

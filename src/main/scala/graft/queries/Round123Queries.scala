@@ -47,7 +47,7 @@ object Round123Queries {
   // ── m42: grayscale baseline JPEG decode, closed-form DC oracle ────────
 
   def m42_jpeg_gray_decode(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         JpegExprs.encodeJpegGrayBlocks(col("text"), 4, 4, 50).as("jpg"))
       .select(col("doc_id"),
@@ -64,7 +64,7 @@ object Round123Queries {
   // ── m43: color 4:2:0 baseline JPEG decode, closed-form tile oracle ────
 
   def m43_jpeg_color_decode(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         JpegExprs.encodeJpegColorTiles(col("text"), 2, 2, 50).as("jpg"))
       .select(col("doc_id"),

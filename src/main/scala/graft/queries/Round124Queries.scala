@@ -42,9 +42,14 @@ object Round124Queries {
 
   // ── m44: quality-sweep distortion table ────────────────────────────────
 
-  def m44_jpeg_quality_sweep(s: SparkSession, dir: String): DataFrame =
+  def m44_jpeg_quality_sweep(s: SparkSession, dir: String): DataFrame = {
+    // one spread+barrier shared by all quality branches: the barrier
+    // keeps each branch's single-use JPEG encode above the repartition
+    // (see Tables.spreadBarrier) and the scan+shuffle happens once
+    val docs = graft.Tables.spreadBarrier(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
     Qualities.map { q =>
-      t(s, dir, "documents")
+      docs
         .select(col("doc_id"), lit(q.toLong).as("quality"),
           lit(JpegCodec.scaledLuminanceDc(q).toLong).as("q_dc"),
           JpegExprs.encodeJpegGrayBlocks(col("text"), 2, 2, q).as("jpg"))
@@ -59,6 +64,7 @@ object Round124Queries {
       .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
         count(lit(1)).as("n_px"))
       .orderBy(col("doc_id"), col("quality"), col("blk"))
+  }
 
   // ── m45: truncated-payload ingest census via try-stats ─────────────────
 

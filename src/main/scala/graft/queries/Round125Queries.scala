@@ -67,7 +67,7 @@ object Round125Queries {
   // ── m47: MJPEG-in-AVI per-frame decode, closed-form DC oracle ─────────
 
   def m47_mjpeg_frames(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.Tables.spreadBarrier(t(s, dir, "documents"))
       .select(col("doc_id"),
         AviExprs.frameLumaSums(
           AviExprs.encodeAviMjpeg(col("text"), 4, 2, 2, 50)).as("sums"))

@@ -130,7 +130,7 @@ object Round126Queries {
   // ── m48: FLAC round trip — lossless identity + coding decisions ───────
 
   def m48_flac_audio(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = graft.Tables.spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
       .withColumn("payload", FlacExprs.encodeFlacFromText(col("text"), NSamples))
     // lossless identity, per sample: decode vs the fixture closed form
     // slope·n + wobble with slope = (cp0 mod 7) − 3, wobble = (cpn mod 32) − 16

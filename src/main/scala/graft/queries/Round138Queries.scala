@@ -41,7 +41,7 @@ object Round138Queries {
 
   def m55_jpeg_progressive_gray_decode(s: SparkSession,
       dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         JpegExprs.encodeJpegGrayBlocksProgressive(col("text"), 4, 4, 50)
           .as("jpg"))
@@ -63,7 +63,7 @@ object Round138Queries {
 
   def m56_jpeg_progressive_color_decode(s: SparkSession,
       dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         JpegExprs.encodeJpegColorTilesProgressive(col("text"), 2, 2, 50)
           .as("jpg"))

@@ -90,7 +90,8 @@ object Round16Queries {
   def d20_minhash_jaccard_est(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{NativeExprs, Text}
     val k = 32
-    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+    val base = graft.Tables.spread(t(s, dir, "documents"))
+      .select(col("doc_id").as("id"),
         array_distinct(Text.shingles(col("text"), 3)).as("shs"),
         NativeExprs.minhashSigPortable(Text.shingles(col("text"), 3), k)
           .as("sig"))

@@ -35,7 +35,7 @@ object Round30Queries {
     Tables.load(s, dir, name)
 
   def d23_image_phash_dedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = graft.Tables.spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("concat(substring(text, 1, 5), 'q', substring(text, 7))")
         .as("text"))

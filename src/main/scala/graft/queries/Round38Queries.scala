@@ -34,7 +34,8 @@ object Round38Queries {
   //        same tuples). found ⇔ the pair shares ≥1 band. ──────────────
   def d27_dedup_recall(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{NativeExprs, Text}
-    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+    val base = graft.Tables.spread(t(s, dir, "documents"))
+      .select(col("doc_id").as("id"),
         array_distinct(Text.shingles(col("text"), 3)).as("shs"),
         NativeExprs.minhashSigPortable(Text.shingles(col("text"), 3), 8)
           .as("sig"))

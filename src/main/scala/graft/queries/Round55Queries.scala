@@ -40,7 +40,8 @@ object Round55Queries {
 
   def s18_margin_mining(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Vectors
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val emb = graft.Tables.spread(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
     val a = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 =!= 0)

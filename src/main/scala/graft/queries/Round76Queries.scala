@@ -83,13 +83,33 @@ object Round76Queries {
     // element in both rankings. On a tiny-vocabulary corpus this is
     // the difference between Σ df·df_prefix and Σ df_prefix² candidate
     // rows — the r13 sf1 re-time measured the one-sided form at 242 s.
-    val candidates = prefix.as("a").join(ranked.as("b"),
+    // Round 14 (guide §2.5): both join inputs are low-MB after the
+    // prefix filter, so AQE's byte-based coalescing ran this join — the
+    // query's real CPU (Σ df_prefix² candidate evaluations) — as ONE
+    // task (profiled: a 3.6 s straggler in a ~5 s query). Explicit
+    // same-key REPARTITION_BY_NUM exchanges on both sides are exempt
+    // from coalescing and pin the join at cluster parallelism; the
+    // shuffled bytes are identical to the ENSURE_REQUIREMENTS exchanges
+    // they replace.
+    val par = s.sparkContext.defaultParallelism
+    val candidates = prefix.as("a")
+      .join(ranked.repartition(par, col("shingle")).as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id") && col("a.n") <= col("b.n") &&
           col("b.rk") <=
             col("b.n") - expr("(4 * a.n + 4) div 5") + lit(1))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      // Round 14 (guide §2.5): pair rows are 16 bytes, so AQE's
+      // byte-based coalescing squashed the distinct + verification into
+      // ONE task (profiled: a 3.4 s straggler in a 4.8 s query) — the
+      // CPU-per-byte of the array_intersect verify is what the byte
+      // heuristic can't see. Hash-repartitioning by the pair key BEFORE
+      // the distinct satisfies the distinct's required distribution with
+      // a REPARTITION_BY_NUM exchange (exempt from coalescing), so the
+      // dedup and the whole verify chain run at cluster parallelism in
+      // one stage with no extra shuffle.
+      .repartition(par, col("id_a"), col("id_b"))
       .distinct()
     // exact intersection, candidates only. Round-13 re-design: the
     // candidate⋈postings⋈postings chain pushed every candidate pair
