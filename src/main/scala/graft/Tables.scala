@@ -33,6 +33,10 @@ object Tables {
     * row-group count already exceeds the core count and this is the
     * identity — no shuffle is ever added for a big input. */
   def spread(df: DataFrame): DataFrame = {
+    // a streaming plan cannot be probed via .rdd (and its per-batch
+    // partitioning is the source's); leave it to the caller's explicit
+    // stream repartition when the per-row work warrants one
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -43,7 +43,9 @@ object NaiveBayes {
   def fit(docs: DataFrame, isTrain: Column, textCol: String,
       labelCol: String): NbModel = {
     import graft.functions.Text
-    val train = docs.where(isTrain)
+    // spread: the fit-side tokenize is per-row-heavy and otherwise runs
+    // on the fixture's one-row-group scan partition (round 14)
+    val train = graft.Tables.spread(docs.where(isTrain))
     val toks = train.select(col(labelCol).as("label"),
       explode(Text.tokens(col(textCol))).as("w"))
     val nTrain = train.agg(count(lit(1)).as("n_train"))

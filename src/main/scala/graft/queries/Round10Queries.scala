@@ -68,6 +68,9 @@ object Round10Queries {
     val stream = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("doc_id") % 10 =!= 0)
+      // per-batch repartition before the heavy per-row gram expansion
+      // (round 14 — see e36's note)
+      .repartition(s.sparkContext.defaultParallelism)
     val hits = graft.operators.Decontaminate.hitsAgainst(stream, evalSet, 4)
       .groupBy(col("doc_id"), col("n_tok"), col("pos"))
       .agg(max(col("e")).as("e"))

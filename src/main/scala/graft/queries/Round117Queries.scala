@@ -135,6 +135,11 @@ object Round117Queries {
     val name = s"stream_gate_${streamSeq.incrementAndGet()}"
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // per-batch repartition: the bigram profile is per-row-heavy and a
+      // small file batch arrives as one partition (round 14; production
+      // streams repartition before heavy stateless compute for the same
+      // decoupling of source parallelism from compute parallelism)
+      .repartition(s.sparkContext.defaultParallelism)
     val agg = gopherScores(raw)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),

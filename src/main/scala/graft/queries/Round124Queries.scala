@@ -43,13 +43,11 @@ object Round124Queries {
   // ── m44: quality-sweep distortion table ────────────────────────────────
 
   def m44_jpeg_quality_sweep(s: SparkSession, dir: String): DataFrame = {
-    // one spread+barrier shared by all quality branches: the barrier
-    // keeps each branch's single-use JPEG encode above the repartition
-    // (see Tables.spreadBarrier) and the scan+shuffle happens once
-    val docs = graft.Tables.spreadBarrier(
-      t(s, dir, "documents").select(col("doc_id"), col("text")))
+    // (round 14: a spread/barrier here measured +0.3 s — the 2×2-block
+    // encode is cheap per row and the decode side is already parallel
+    // behind the posexplode, so the extra exchange never pays for itself)
     Qualities.map { q =>
-      docs
+      t(s, dir, "documents")
         .select(col("doc_id"), lit(q.toLong).as("quality"),
           lit(JpegCodec.scaledLuminanceDc(q).toLong).as("q_dc"),
           JpegExprs.encodeJpegGrayBlocks(col("text"), 2, 2, q).as("jpg"))

@@ -97,9 +97,12 @@ object Round50Queries {
 
   // ── q101: lower-median of cents, then lower-median of |x − med|. ─────
   def q101_mad(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: five driver actions (two medians' counts + ranks,
+    // the final n) re-read the scan otherwise (round 14, guide §1.2)
     val cents = t(s, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast(LongType).as("c"))
+      .localCheckpoint()
     // distributed global rank (q72/q96's operator), not a
     // single-partition window
     def lowerMedian(df: DataFrame, valueCol: String,

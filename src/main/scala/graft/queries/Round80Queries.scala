@@ -116,7 +116,7 @@ object Round80Queries {
   // ── m25: quadrant tile stats over the decoded raster ──────────────────
 
   def m25_image_tiles(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.spread(t(s, dir, "documents")).select(col("doc_id"),
+    t(s, dir, "documents").select(col("doc_id"),
         ImageExprs.decodePixels(
           ImageExprs.encodeImageFromText(col("text"), "png", 8, 8)).as("px"))
       .select(col("doc_id"), posexplode(col("px")).as(Seq("i", "v")))

@@ -169,6 +169,9 @@ object Round8Queries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(deltaFilter)
+      // per-batch repartition before the heavy per-row shingle pass
+      // (round 14 — see e36's note)
+      .repartition(s.sparkContext.defaultParallelism)
     val batchSh = Dedup.postingList(
       Dedup.shingleSets(stream, "doc_id", "text", n = 3))
     val joined = batchSh.as("a")

@@ -107,7 +107,7 @@ object Round93Queries {
 
   def m30_integral_image(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val px = graft.Tables.spread(t(s, dir, "documents")).select(col("doc_id"),
+    val px = t(s, dir, "documents").select(col("doc_id"),
         ImageExprs.decodePixels(
           ImageExprs.encodeImageFromText(col("text"), "pgm", 8, 8)).as("px"))
       .select(col("doc_id"), posexplode(col("px")).as(Seq("i", "v")))

@@ -115,6 +115,9 @@ object Round95Queries {
     val name = s"stream_keyness_${streamSeq.incrementAndGet()}"
     val stream = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // per-batch repartition before the heavy per-row tokenize
+      // (round 14 — see e36's note)
+      .repartition(s.sparkContext.defaultParallelism)
     val counts = stream
       .select(when(col("source") === "src0", "a").otherwise("b").as("corp"),
         explode(Text.tokens(col("text"))).as("w"))
