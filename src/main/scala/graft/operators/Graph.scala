@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Round 14: the same size-based strategy switch
+    * [[connectedComponents]] has always had, generalized to every
+    * EXACT-INTEGER iterative operator here (bfs, sssp, widestPath,
+    * onionLayers, labelPropagation, hits): below this edge count the
+    * rounds run in one driver loop over the collected edge array —
+    * semantically identical synchronous updates, zero per-round
+    * scheduling — and above it the distributed join/aggregate rounds
+    * run unchanged. Value matches connectedComponents' driverThreshold;
+    * the float-typed operators (pageRank and friends) keep their
+    * distributed DECIMAL-rounding pipeline at every size because their
+    * per-iteration rounding is part of the declared semantics. */
+  private val DriverGraphThreshold = 1L << 20
+
   /** Connected components. Small edge sets (the common case once pairs
     * came from a good candidate generator) resolve in one driver-side
     * union-find — the same size-based strategy switch as a broadcast
@@ -93,7 +106,8 @@ object Graph {
     * textbook Pregel iteration expressed as DataFrame joins. Returns
     * (`n`, `d`) for every node within `maxDepth` hops (src included, d=0). */
   def bfs(edges: DataFrame, aCol: String, bCol: String, src: Long,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = edges.select(col(aCol).cast("long").as("u"),
@@ -102,6 +116,21 @@ object Graph {
         col(aCol).cast("long").as("v")))
       .distinct()
       .localCheckpoint(true)
+    if (und.count() <= driverThreshold) {
+      val adj = und.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2) }
+      val vis = scala.collection.mutable.LinkedHashMap(src -> 0)
+      var front = Seq(src)
+      var depth = 0
+      while (depth < maxDepth && front.nonEmpty) {
+        depth += 1
+        val nxt = front.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .distinct.filterNot(vis.contains)
+        nxt.foreach(n => vis(n) = depth)
+        front = nxt
+      }
+      return vis.toSeq.toDF("n", "d")
+    }
     var visited = Seq((src, 0)).toDF("n", "d").localCheckpoint(true)
     var frontier = visited.select(col("n"))
     var depth = 0
@@ -309,7 +338,8 @@ object Graph {
     *
     * Returns (node, hub, authority) for every node in `edges`. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .distinct()
@@ -318,6 +348,29 @@ object Graph {
       .union(e.select(col("v").as("n")))
       .distinct()
       .localCheckpoint(true)
+    if (e.count() <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val earr = e.as[(Long, Long)].collect()
+      val ns = (earr.map(_._1) ++ earr.map(_._2)).distinct
+      var hm: Map[Long, Long] = ns.map(_ -> 1L).toMap
+      var am: Map[Long, Long] = Map.empty
+      for (_ <- 1 to iters) {
+        val a2 = scala.collection.mutable.Map[Long, Long]()
+        earr.foreach { case (u, v) =>
+          hm.get(u).foreach(hu => a2(v) = a2.getOrElse(v, 0L) + hu)
+        }
+        am = a2.toMap
+        val h2 = scala.collection.mutable.Map[Long, Long]()
+        earr.foreach { case (u, v) =>
+          am.get(v).foreach(av => h2(u) = h2.getOrElse(u, 0L) + av)
+        }
+        hm = h2.toMap
+      }
+      return ns.toSeq
+        .map(n => (n, hm.getOrElse(n, 0L), am.getOrElse(n, 0L)))
+        .toDF("node", "hub", "authority")
+    }
     var h = nodes.select(col("n"), lit(1L).as("h"))
     var a = nodes.select(col("n"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
@@ -349,12 +402,35 @@ object Graph {
     * longs); returns (node, dist) for nodes reachable from `source`.
     * Throws if the distances haven't stabilized after `maxIters` rounds
     * (negative-weight semantics are out of scope). */
-  def sssp(edges: DataFrame, source: Long, maxIters: Int = 50): DataFrame = {
+  def sssp(edges: DataFrame, source: Long, maxIters: Int = 50,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
+    if (e.count() <= driverThreshold) {
+      val earr = e.as[(Long, Long, Long)].collect()
+      var dist = Map(source -> 0L)
+      var improved = 1L
+      var it = 0
+      while (improved > 0 && it < maxIters) {
+        val next = scala.collection.mutable.Map[Long, Long](dist.toSeq: _*)
+        earr.foreach { case (s0, d0, w) =>
+          dist.get(s0).foreach { ds =>
+            val nd = ds + w
+            if (next.get(d0).forall(nd < _)) next(d0) = nd
+          }
+        }
+        improved = next.count { case (k, v) => dist.get(k).forall(v < _) }
+        dist = next.toMap
+        it += 1
+      }
+      if (improved > 0)
+        throw new IllegalStateException(
+          s"sssp: not stable after $maxIters rounds")
+      return dist.toSeq.toDF("node", "dist")
+    }
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
     var improved = 1L
     var it = 0
@@ -478,13 +554,32 @@ object Graph {
     * shape), `localCheckpoint`-flattened; the edge relation never
     * re-materializes. Returns (`n`, `layer`). */
   def onionLayers(edges: DataFrame, aCol: String, bCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     val und = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .union(edges.select(col(bCol).cast("long").as("u"),
         col(aCol).cast("long").as("v")))
       .distinct()
       .localCheckpoint(true)
+    if (und.count() <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val earr = und.as[(Long, Long)].collect()
+      var surv = earr.map(_._1).toSet
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      for (r <- 1 to rounds) {
+        val deg = scala.collection.mutable.Map[Long, Long]()
+        earr.foreach { case (u, v) =>
+          if (surv(u) && surv(v)) deg(u) = deg.getOrElse(u, 0L) + 1
+        }
+        val next = deg.iterator.collect { case (n, d) if d >= k => n }.toSet
+        (surv -- next).foreach(n => out += (n -> r))
+        surv = next
+      }
+      surv.foreach(n => out += (n -> (rounds + 1)))
+      return out.toSeq.toDF("n", "layer")
+    }
     var surv = und.select(col("u").as("n")).distinct().localCheckpoint(true)
     var layers = surv.select(col("n"), lit(0).as("layer")).limit(0)
     for (r <- 1 to rounds) {
@@ -520,7 +615,8 @@ object Graph {
     * keyed by node, so partitioning is stable across rounds at any scale.
     * Returns (`n`, `l`) after exactly `iters` rounds. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
@@ -528,6 +624,30 @@ object Graph {
         col(aCol).cast("long").as("v")))
       .distinct()
       .localCheckpoint(true)
+    if (und.count() <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val earr = und.as[(Long, Long)].collect()
+      var lab = earr.iterator.map(_._1).toSeq.distinct
+        .map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val cnt = scala.collection.mutable.Map[(Long, Long), Long]()
+        earr.foreach { case (u, v) =>
+          val key = (u, lab(v))
+          cnt(key) = cnt.getOrElse(key, 0L) + 1
+        }
+        val best = scala.collection.mutable.Map[Long, (Long, Long)]()
+        cnt.foreach { case ((n, l), c) =>
+          // argmax count, ties to the smaller label — the window's
+          // orderBy(c desc, l) rank 1
+          val cur = best.get(n)
+          if (cur.forall { case (bc, bl) => c > bc || (c == bc && l < bl) })
+            best(n) = (c, l)
+        }
+        lab = best.iterator.map { case (n, (_, l)) => n -> l }.toMap
+      }
+      return lab.toSeq.toDF("n", "l")
+    }
     var lab = und.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("l"))
       .localCheckpoint(true)
@@ -554,12 +674,35 @@ object Graph {
     * reports the `Long.MaxValue` sentinel (no incoming constraint) —
     * callers usually exclude it. Returns (node, cap). */
   def widestPath(edges: DataFrame, source: Long,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
+    if (e.count() <= driverThreshold) {
+      val earr = e.as[(Long, Long, Long)].collect()
+      var cap = Map(source -> Long.MaxValue)
+      var improved = 1L
+      var it = 0
+      while (improved > 0 && it < maxIters) {
+        val next = scala.collection.mutable.Map[Long, Long](cap.toSeq: _*)
+        earr.foreach { case (s0, d0, w) =>
+          cap.get(s0).foreach { cs =>
+            val nc = math.min(cs, w)
+            if (next.get(d0).forall(nc > _)) next(d0) = nc
+          }
+        }
+        improved = next.count { case (k, v) => cap.get(k).forall(v > _) }
+        cap = next.toMap
+        it += 1
+      }
+      if (improved > 0)
+        throw new IllegalStateException(
+          s"widestPath: not stable after $maxIters rounds")
+      return cap.toSeq.toDF("node", "cap")
+    }
     var cap = Seq((source, Long.MaxValue)).toDF("node", "cap")
       .localCheckpoint(true)
     var improved = 1L

@@ -65,15 +65,17 @@ object Round109Queries {
       lit(0L).as("d")).localCheckpoint(true)
     var frontier = dist
     var depth = 0L
-    while (!frontier.isEmpty) {
+    // round 14: lazy in-loop checkpoints + full-count probe (the probe
+    // job is the materialization pass) — Graph.scala's discipline
+    while (frontier.count() > 0) {
       depth += 1L
       val next = frontier.join(und, frontier("n") === und("u"))
         .select(col("src"), col("v").as("n"), lit(depth).as("d"))
         .distinct()
         .join(dist.select(col("src").as("s2"), col("n").as("n2")),
           col("src") === col("s2") && col("n") === col("n2"), "left_anti")
-        .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next
     }
     val ecc = dist.groupBy(col("src"))

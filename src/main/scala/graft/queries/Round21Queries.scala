@@ -126,6 +126,9 @@ object Round21Queries {
     val schema = t(s, dir, "lineitem").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      // per-batch repartition before the per-row dyadic expansion
+      // (round 14 — see e36's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(expr(
         "cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)")
         .as("k"))
