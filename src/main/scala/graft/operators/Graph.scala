@@ -151,6 +151,61 @@ object Graph {
     visited
   }
 
+  /** Multi-source BFS closure: hop distances from EVERY node of the
+    * (already symmetric, distinct) edge set `und` — columns `u`, `v` —
+    * to every node it reaches, self included (d = 0). Returns
+    * (`src`, `n`, `d`). The all-25-sources-at-once frontier iteration
+    * q153 runs over the nation trade graph, lifted here so it gets the
+    * same size-based strategy switch as [[bfs]]: below `driverThreshold`
+    * edges the closure runs in one driver loop (zero per-round
+    * scheduling), above it the distributed frontier join/anti-join
+    * rounds run unchanged. Synchronous-update semantics are identical —
+    * a node's distance is the first round that reaches it. */
+  def multiSourceBfs(und: DataFrame,
+      driverThreshold: Long = DriverGraphThreshold): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val e = und.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint(true)
+    if (e.count() <= driverThreshold) {
+      val adj = e.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2) }
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      adj.keys.toSeq.sorted.foreach { src =>
+        val vis = scala.collection.mutable.LinkedHashMap(src -> 0L)
+        var front = Seq(src)
+        var depth = 0L
+        while (front.nonEmpty) {
+          depth += 1L
+          val nxt = front.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+            .distinct.filterNot(vis.contains)
+          nxt.foreach(n => vis(n) = depth)
+          front = nxt
+        }
+        vis.foreach { case (n, d) => out += ((src, n, d)) }
+      }
+      return out.result().toDF("src", "n", "d")
+    }
+    var dist = e.select(col("u").as("src"), col("u").as("n")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var depth = 0L
+    // count(), not isEmpty: the probe is the lazy checkpoint's
+    // materialization pass (see starContraction scaladoc)
+    while (frontier.count() > 0) {
+      depth += 1L
+      val next = frontier.join(e, frontier("n") === e("u"))
+        .select(col("src"), col("v").as("n"), lit(depth).as("d"))
+        .distinct()
+        .join(dist.select(col("src").as("s2"), col("n").as("n2")),
+          col("src") === col("s2") && col("n") === col("n2"), "left_anti")
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
+      frontier = next
+    }
+    dist
+  }
+
   /** Fixed-iteration PageRank over an undirected edge set (each edge
     * feeds both directions, so every node has out-degree ≥ 1 — no
     * dangling mass to redistribute). Deterministic and oracle-checkable:

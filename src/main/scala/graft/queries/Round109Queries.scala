@@ -59,25 +59,12 @@ object Round109Queries {
       .select(col("u"), col("v"))
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    val nodes = und.select(col("u").as("nk")).distinct()
-    // multi-source BFS closure: all sources advance one hop per round
-    var dist = nodes.select(col("nk").as("src"), col("nk").as("n"),
-      lit(0L).as("d")).localCheckpoint(true)
-    var frontier = dist
-    var depth = 0L
-    // round 14: lazy in-loop checkpoints + full-count probe (the probe
-    // job is the materialization pass) — Graph.scala's discipline
-    while (frontier.count() > 0) {
-      depth += 1L
-      val next = frontier.join(und, frontier("n") === und("u"))
-        .select(col("src"), col("v").as("n"), lit(depth).as("d"))
-        .distinct()
-        .join(dist.select(col("src").as("s2"), col("n").as("n2")),
-          col("src") === col("s2") && col("n") === col("n2"), "left_anti")
-        .localCheckpoint(false)
-      dist = dist.unionByName(next).localCheckpoint(false)
-      frontier = next
-    }
+    // multi-source BFS closure: all sources advance one hop per round —
+    // round 14: lifted to Graph.multiSourceBfs so the ≤25-node nation
+    // graph resolves in one driver loop (same size-based strategy switch
+    // as Graph.bfs); the distributed frontier rounds run unchanged above
+    // the threshold
+    val dist = graft.operators.Graph.multiSourceBfs(und)
     val ecc = dist.groupBy(col("src"))
       .agg(max(col("d")).as("ecc"), count(lit(1)).as("n_reachable"))
     val bounds = ecc.agg(max(col("ecc")).as("diam"), min(col("ecc")).as("radius"))

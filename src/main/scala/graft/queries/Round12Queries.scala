@@ -67,7 +67,10 @@ object Round12Queries {
     import graft.operators.NaiveBayes
     val docs = t(s, dir, "documents")
     val name = s"stream_nb_gate_${streamSeq.incrementAndGet()}"
-    val model = NaiveBayes.fit(docs, col("doc_id") % 2 === 0, "text", "lang")
+    // materialize: the stream-static broadcast sides would otherwise
+    // re-execute the whole fit DAG in every microbatch (round 14)
+    val model = NaiveBayes.materialize(
+      NaiveBayes.fit(docs, col("doc_id") % 2 === 0, "text", "lang"))
     val stream = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("doc_id") % 2 =!= 0)

@@ -68,6 +68,17 @@ class GraphDriverParitySpec extends SparkSpec {
     assert(rows(a, "n") == rows(b, "n"))
   }
 
+  test("multiSourceBfs: driver path == distributed path") {
+    import org.apache.spark.sql.functions.col
+    // symmetric + distinct, as q153 feeds it
+    val und = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val a = Graph.multiSourceBfs(und)
+    val b = Graph.multiSourceBfs(und, driverThreshold = 0L)
+    assert(rows(a, "src", "n") == rows(b, "src", "n"))
+  }
+
   test("hits: driver path == distributed path") {
     val a = Graph.hits(wedges.select("src", "dst"), "src", "dst", iters = 2)
     val b = Graph.hits(wedges.select("src", "dst"), "src", "dst", iters = 2,
