@@ -42,16 +42,48 @@ object Round67Queries {
       .localCheckpoint(true)
     val spark = s
     import spark.implicits._
-    val perT = Thresholds.map { th =>
-      val e = pairs.filter(col("j_pct") >= th)
-        .select(col("id_a"), col("id_b"))
-      val labels = Graph.connectedComponents(e, "id_a", "id_b")
-        .localCheckpoint(true)
-      val nPairs = e.count()
-      val nDocs = labels.count()
-      val nClusters = labels.select(col("l")).distinct().count()
-      (th.toLong, nPairs, nDocs, nClusters, nDocs - nClusters)
-    }
+    // Size-switched like Graph.connectedComponents (round 14): below the
+    // same 2²⁰-edge threshold the WHOLE sweep runs on the driver — one
+    // collect, then per threshold a union-find over the filtered array.
+    // The old shape paid 3 × (CC collect + checkpoint + three count
+    // actions) of per-action scheduling on tiny edge sets; these pairs
+    // would hit CC's driver fast-path anyway, so this collapses ~15
+    // driver actions into one with identical values. Above the threshold
+    // the distributed per-threshold path runs unchanged.
+    val perT: Seq[(Long, Long, Long, Long, Long)] =
+      if (pairs.count() <= (1L << 20)) {
+        val es = pairs.select(col("id_a").cast("long"),
+            col("id_b").cast("long"), col("j_pct"))
+          .as[(Long, Long, Long)].collect()
+        Thresholds.map { th =>
+          val fe = es.filter(_._3 >= th)
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          fe.foreach { case (a, b, _) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val nDocs = parent.size.toLong
+          val nClusters = parent.keysIterator.map(find).toSet.size.toLong
+          (th.toLong, fe.length.toLong, nDocs, nClusters, nDocs - nClusters)
+        }
+      } else Thresholds.map { th =>
+        val e = pairs.filter(col("j_pct") >= th)
+          .select(col("id_a"), col("id_b"))
+        val labels = Graph.connectedComponents(e, "id_a", "id_b")
+          .localCheckpoint(true)
+        val nPairs = e.count()
+        val nDocs = labels.count()
+        val nClusters = labels.select(col("l")).distinct().count()
+        (th.toLong, nPairs, nDocs, nClusters, nDocs - nClusters)
+      }
     perT.toDF("threshold_pct", "n_pairs", "n_docs_implicated",
         "n_clusters", "n_docs_dropped")
       .orderBy(col("threshold_pct"))
