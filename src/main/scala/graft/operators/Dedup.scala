@@ -118,10 +118,38 @@ object Dedup {
     val prefix = rankedPrefix(sh, threshold)
     spreadPairs(prefix.as("x")
       .join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+          sizeAndPositionFilters(threshold))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
   }
+
+  /** The two extra LOSSLESS prunes of the PPJoin family (Xiao et al.,
+    * WWW'08), round 14 — the d38 containment fix and the re-spelled
+    * d35/d36 oracles already use exactly this algebra; this applies it to
+    * the shared Jaccard candidate join, where the corpus's big dup
+    * families otherwise flood the pair distinct + verify (409 k candidate
+    * rows at sf0.1 for a few thousand true pairs). Evaluated on each
+    * shared-prefix-shingle row before the pair `distinct`:
+    *
+    *  - length filter: J ≥ t forces t·|b| ≤ |a| (J ≤ min/max);
+    *  - positional filter: overlap through this shingle is at most
+    *    1 + min of both true suffix lengths (`pos` is the rank in the
+    *    doc's FULL (df, sh) order), while J ≥ t needs overlap ≥
+    *    ⌈t/(1+t)·(na+nb)⌉.
+    *
+    * Lossless because a qualifying pair's FIRST common shingle always
+    * passes both (the suffixes there are maximal and the overlap bound is
+    * implied by J ≥ t); the 1e-9 slack keeps the double-arithmetic ceil
+    * from ever over-requiring — erring only toward keeping a candidate,
+    * never dropping one. */
+  private def sizeAndPositionFilters(threshold: Double): Column =
+    col("y.n_sh").cast(DoubleType) >= col("x.n_sh") * threshold - 1e-9 &&
+      col("x.n_sh").cast(DoubleType) >= col("y.n_sh") * threshold - 1e-9 &&
+      (lit(1L) + least(col("x.n_sh") - col("x.pos"),
+        col("y.n_sh") - col("y.pos"))).cast(DoubleType) >=
+        ceil((col("x.n_sh") + col("y.n_sh")).cast(DoubleType) *
+          lit(threshold / (1.0 + threshold)) - 1e-9)
 
   /** Round 14 (guide §2.5): candidate-pair tables are a few bytes per
     * row, so AQE's byte-based partition coalescing collapses them to one
@@ -158,7 +186,9 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
-      .select(col("id"), col("sh"))
+      // n_sh and pos ride along for the PPJoin length/positional prunes
+      // ([[sizeAndPositionFilters]]); prefix-only consumers ignore them
+      .select(col("id"), col("sh"), col("n_sh"), col("pos"))
   }
 
   /** Directional n-gram containment: pairs (a, b) where
@@ -246,7 +276,7 @@ object Dedup {
       .groupBy(col("sh")).agg(count(lit(1)).as("df0"))
     val candidates = spreadPairs(rankedPrefixWith(a, freq, threshold).as("x")
       .join(rankedPrefixWith(b, freq, threshold).as("y"),
-        col("x.sh") === col("y.sh"))
+        col("x.sh") === col("y.sh") && sizeAndPositionFilters(threshold))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
       .distinct()
     val jac = col("inter").cast(DoubleType) /
