@@ -62,11 +62,14 @@ object Round81Queries {
     // the pruned-file count are unchanged at any core count.
     slice.repartition(col("d")).write.mode("overwrite").partitionBy("d")
       .parquet(v1)
-    val monthly = s.read.parquet(v1)
-      .withColumn("m", substring(col("d"), 1, 7))
+    // ONE read of the day layout: each bare-path `read.parquet` builds a
+    // fresh InMemoryFileIndex (a 90-dir driver listing job); the migration
+    // read and the v1 census share the same DataFrame (round 14, §6)
+    val v1df = s.read.parquet(v1)
+    val monthly = v1df.withColumn("m", substring(col("d"), 1, 7))
     monthly.repartition(col("m")).write.mode("overwrite").partitionBy("m")
       .parquet(v2)
-    val perV1 = s.read.parquet(v1)
+    val perV1 = v1df
       .groupBy(substring(col("d"), 1, 7).as("month"))
       .agg(count(lit(1)).as("n_v1"),
         count_distinct(col("d")).as("files_v1"))
